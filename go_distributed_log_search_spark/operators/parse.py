@@ -1,0 +1,77 @@
+"""Parse stage — schema-driven projection of the transcript text column.
+
+Reference analog: P1 schema-driven field projection
+(/root/reference/src/commands/index.go:139-156): for each schema field
+present in the doc, parse+emit the typed value and REMOVE it from the raw
+doc; everything unclaimed lands in the ``_dynamic`` map
+(src/commands/mod.go:23, index.go:154-156).
+
+Here the "document" is a transcript turn and the claimed fields are the
+grok-extracted structured columns (level, error_signature, tool_call,
+src/dest/bytes/op/duration); the unclaimed ``key: value`` pairs of the text
+body land in ``_dynamic: map<string,string>`` — computed with
+``regexp_extract_all`` + ``map_from_arrays`` minus the claimed keys, fully
+JVM-side.
+
+Scale notes: one narrow projection over the scan — no shuffle, no UDF;
+Catalyst prunes unused extraction exprs when downstream selects fewer
+columns. At 100 TB this stage is scan-bound, exactly as it should be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import grok
+
+# keys the typed schema claims from the k:v body (P1 "delete from raw doc")
+CLAIMED_KEYS = ("bytes", "op", "duration", "src", "dest")
+_KV_PATTERN = r"(\w+): ([\w/.:]+)"
+
+
+def parse_turns(df: DataFrame, dynamic: bool = True) -> DataFrame:
+    """transcripts -> typed columns + _dynamic map (P1-P9 analog)."""
+    text = F.col("text")
+    out = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        "text",
+        grok.level_expr(text).alias("level"),
+        grok.error_signature_expr(text).alias("error_signature"),
+        grok.tool_marker_expr(text).alias("tool_call"),
+        grok.kv_str_expr(text, "src").alias("src"),
+        grok.kv_str_expr(text, "dest").alias("dest"),
+        grok.kv_long_expr(text, "bytes").alias("bytes"),
+        grok.kv_str_expr(text, "op").alias("op"),
+        grok.kv_long_expr(text, "duration").alias("duration"),
+    )
+    if dynamic:
+        kvs = F.regexp_extract_all(text, F.lit(_KV_PATTERN), F.lit(0))
+        keys = F.transform(kvs, lambda kv: F.regexp_extract(kv, _KV_PATTERN, 1))
+        vals = F.transform(kvs, lambda kv: F.regexp_extract(kv, _KV_PATTERN, 2))
+        dyn = F.map_filter(
+            F.map_from_arrays(keys, vals),
+            lambda k, v: ~k.isin(*CLAIMED_KEYS),
+        )
+        out = out.withColumn("_dynamic", dyn)
+    return out
+
+
+def parse_turns_grok_udf(df: DataFrame) -> DataFrame:
+    """Same extraction via the Arrow-vectorized grok engine — the
+    demonstrated slow path for non-Catalyst-expressible dictionaries.
+    Used by tests to assert both engines agree; NOT the default."""
+    return grok.grok_extract_pandas(
+        df,
+        "text",
+        [
+            "level=%{LOGLEVEL:level} sig=%{WORD:error_signature}",
+            "level=%{LOGLEVEL:level}",
+            "<tool:%{WORD:tool_call} ",
+        ],
+        ["level", "error_signature", "tool_call"],
+    )

@@ -1,0 +1,68 @@
+"""Route stage — tag-based fan-out to per-sink tables.
+
+Reference analog: each ingest batch becomes exactly one index file
+registered in the catalog (S5, /root/reference/src/commands/mod.go:263-371,
+insert :362-365) with its doc_count in the footer (A2, mod.go:314-347).
+Here one pass over the parsed+enriched turns fans out to 3+ sink tables
+(mirroring index-shard routing, BASELINE.json north_star):
+
+    sink_errors          level = ERROR
+    sink_tool_calls      tool is set or a <tool:...> marker parsed
+    sink_assistant_turns role = assistant
+
+A row may satisfy several predicates and lands in EVERY matching sink (like
+a doc indexed under several shards). ``sink_tags`` computes the tag array
+once; the writer persists the tagged frame and appends each sink with a
+cheap filter — single-pass economics (SURVEY.md §4 "fan-out router").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SINKS = ("errors", "tool_calls", "assistant_turns")
+
+
+def sink_predicates() -> dict[str, Column]:
+    return {
+        "errors": F.col("level") == "ERROR",
+        "tool_calls": F.col("tool").isNotNull() | F.col("tool_call").isNotNull(),
+        "assistant_turns": F.col("role") == "assistant",
+    }
+
+
+def with_sink_tags(df: DataFrame) -> DataFrame:
+    """Compute the tag array once per row (array<string> ``sinks``)."""
+    preds = sink_predicates()
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(preds[s], F.lit(s))
+                for s in SINKS
+            ]
+        )
+    )
+    return df.withColumn("sinks", tags)
+
+
+def routed(df: DataFrame) -> DataFrame:
+    """Exploded (sink, row) view — one output row per (row, matching sink).
+
+    This is the logical fan-out; the physical writer (streaming/microbatch)
+    instead persists the tagged frame and runs one filtered append per sink
+    to avoid materializing the explode twice.
+    """
+    return with_sink_tags(df).withColumn("sink", F.explode("sinks")).drop("sinks")
+
+
+def route_counts(df: DataFrame) -> DataFrame:
+    """A2 analog: per-sink row/conversation counts (lineage doc_count)."""
+    return (
+        routed(df)
+        .groupBy("sink")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )

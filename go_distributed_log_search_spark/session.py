@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for this sandbox and for scale.
+
+The sandbox is one JVM with 32 threads (local[32], 128 GiB); production is a
+multi-executor cluster reading 100 TB+. Every knob below is chosen so the
+same plan shape survives the scale-up:
+
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting. At
+  10^12 turns the conv_id distribution is Zipf-skewed (BASELINE.json
+  north_rule) and AQE handles the join side of that; the aggregation side is
+  handled explicitly by salting (operators/aggregate.py).
+- shuffle.partitions defaults to the core count locally; on a real cluster
+  this is overridden to ~2-3x total cores (AQE coalesces down).
+- Arrow enabled: every pandas UDF crosses the JVM<->Python boundary in
+  columnar Arrow batches, never row-at-a-time (north-rule hot-path
+  constraint: no per-row Python).
+- Session timezone pinned UTC so timestamp semantics are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "go-distributed-log-search-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    # The sandbox resolver points at a blackhole nameserver; any stray
+    # JVM DNS lookup stalls for its full timeout. Pin everything to
+    # 127.0.0.1 and cache negative lookups forever.
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    os.environ.setdefault("SPARK_LOCAL_HOSTNAME", "localhost")
+    dns_opts = (
+        "-Dsun.net.inetaddr.ttl=-1 -Dsun.net.inetaddr.negative.ttl=-1 "
+        "-Dnetworkaddress.cache.ttl=-1 -Dnetworkaddress.cache.negative.ttl=-1 "
+        "-Djava.net.preferIPv4Stack=true"
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
+        .config("spark.driver.extraJavaOptions", dns_opts)
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
