@@ -89,11 +89,7 @@ def parse_datetime(col: Column, formats: tuple[str, ...] = DEFAULT_DATETIME_FORM
     return F.coalesce(*parsed) if len(parsed) > 1 else parsed[0]
 
 
-@F.pandas_udf("string")
-def normalize_ip(s: pd.Series) -> pd.Series:
-    """P5: parse + canonicalize IP, IPv4 kept dotted-quad (the textual form
-    of Go's IPv4-in-IPv6 To16 bytes), invalid -> null
-    (field_parser.go:217-241). Vectorized over Arrow batches."""
+def _normalize_ip_impl(s: pd.Series) -> pd.Series:
     import ipaddress
 
     def norm(v):
@@ -105,6 +101,14 @@ def normalize_ip(s: pd.Series) -> pd.Series:
             return None
 
     return s.map(norm)
+
+
+def normalize_ip(col) -> Column:
+    """P5: parse + canonicalize IP, IPv4 kept dotted-quad (the textual form
+    of Go's IPv4-in-IPv6 To16 bytes), invalid -> null
+    (field_parser.go:217-241). Vectorized pandas UDF over Arrow batches;
+    built lazily because pandas_udf registration needs an active session."""
+    return F.pandas_udf(_normalize_ip_impl, "string")(col)
 
 
 def parse_array(col: Column, element_parser) -> Column:

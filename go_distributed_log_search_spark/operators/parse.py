@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 
 from ..functions import grok
 
-# keys the typed schema claims from the k:v body (P1 "delete from raw doc")
-CLAIMED_KEYS = ("bytes", "op", "duration", "src", "dest")
+# keys the typed schema claims from the k:v body (P1 "delete from raw doc");
+# src/dest stay unclaimed so they land in _dynamic — exercising the
+# dynamic-field path (index.go:154-156) with real leftovers.
+CLAIMED_KEYS = ("bytes", "op", "duration")
 _KV_PATTERN = r"(\w+): ([\w/.:]+)"
 
 
@@ -43,8 +45,6 @@ def parse_turns(df: DataFrame, dynamic: bool = True) -> DataFrame:
         grok.level_expr(text).alias("level"),
         grok.error_signature_expr(text).alias("error_signature"),
         grok.tool_marker_expr(text).alias("tool_call"),
-        grok.kv_str_expr(text, "src").alias("src"),
-        grok.kv_str_expr(text, "dest").alias("dest"),
         grok.kv_long_expr(text, "bytes").alias("bytes"),
         grok.kv_str_expr(text, "op").alias("op"),
         grok.kv_long_expr(text, "duration").alias("duration"),

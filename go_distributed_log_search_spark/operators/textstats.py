@@ -1,0 +1,108 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+These are first-class extensions beyond the reference (which only
+tokenizes for its inverted index) — the operations a 100 TB corpus
+pipeline needs over the ``documents`` table. Everything is a Catalyst
+column expression: scan-bound, zero shuffle until the final aggregate,
+oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize
+
+# deterministic per-language marker lexicons (n-gram heuristic lang-id).
+# Real deployments plug in fastText/CLD3 via a pandas UDF; the heuristic
+# keeps the sandbox dependency-free and oracle-checkable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "la", "los"),
+    "fr": ("le", "les", "des"),
+    "zh": ("de5", "shi4", "zhong1"),
+}
+
+TOKEN_PATTERN = r"[a-z0-9]+"  # BPE-ish lowercase alnum runs
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0)))
+
+
+def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    toks = tokenize(text, "default")
+    hits = F.filter(toks, lambda t: t.isin(*markers))
+    return F.size(hits)
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Pick the language whose marker lexicon hits most; ties and zero
+    hits -> 'und'. Deterministic tie-break by language code order."""
+    hit_cols = {lang: _marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(hit_cols):  # later langs must beat, not tie
+        h = hit_cols[lang]
+        take = h > best_hits
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_hits = F.when(take, h).otherwise(best_hits)
+    return best
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a quality bucket."""
+    text = F.col(text_col)
+    toks = tokenize(text, "default")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    out = df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_chars_m": n_chars,
+            "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+            "stopword_ratio": F.round(
+                stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double"), 4
+            ),
+            "avg_token_len": F.round(
+                F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+                / F.greatest(n_tokens, F.lit(1)).cast("double"),
+                4,
+            ),
+        }
+    )
+    quality = (
+        F.when((F.col("n_tokens") < 5) | (F.col("punct_ratio") > 0.3), "low")
+        .when(F.col("stopword_ratio") > 0.05, "high")
+        .otherwise("mid")
+    )
+    return out.withColumn("quality_bucket", quality)
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Cheap exact-dup key; stable across engines."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def token_stats(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """Per-group corpus stats: docs, total tokens, distinct terms."""
+    toks = df.select(group_col, F.explode(tokenize(F.col(text_col))).alias("term"))
+    return (
+        toks.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.countDistinct("term").alias("distinct_terms"),
+        )
+        .join(
+            df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs")),
+            on=group_col,
+        )
+    )

@@ -1,0 +1,388 @@
+"""DuckDB-dialect oracle SQL for every SQL-expressible query in
+queries.py. Keys match SPARK_QUERIES; missing keys are rows-only checks
+(banded LSH, simhash blocking, ANN — not reasonably ANSI-SQL-expressible).
+
+The transcripts/dim CTE prelude is prepended by build_oracles(); every
+aggregate/computed column is aliased identically to the Spark side.
+"""
+
+from __future__ import annotations
+
+from .transcripts import oracle_prelude
+
+# shared SQL fragments -------------------------------------------------
+
+_PARSED = """
+parsed AS (
+  SELECT conv_id, turn_idx, role, tool, ts, text,
+    NULLIF(regexp_extract(text, 'level=([A-Z]+)', 1), '') AS level,
+    NULLIF(regexp_extract(text, 'sig=([A-Za-z]+)', 1), '') AS error_signature,
+    NULLIF(regexp_extract(text, '<tool:([a-z]+) ', 1), '') AS tool_call,
+    CAST(NULLIF(regexp_extract(text, 'bytes: (\\d+)', 1), '') AS BIGINT) AS bytes,
+    NULLIF(regexp_extract(text, 'op: ([\\w/.:]+)', 1), '') AS op,
+    CAST(NULLIF(regexp_extract(text, 'duration: (\\d+)', 1), '') AS BIGINT) AS duration
+  FROM transcripts
+)"""
+
+_ROUTED = """
+routed AS (
+  SELECT 'errors' AS sink, * FROM parsed WHERE level = 'ERROR'
+  UNION ALL
+  SELECT 'tool_calls' AS sink, * FROM parsed
+    WHERE tool IS NOT NULL OR tool_call IS NOT NULL
+  UNION ALL
+  SELECT 'assistant_turns' AS sink, * FROM parsed WHERE role = 'assistant'
+)"""
+
+_DOC_TOKS = """
+toks AS (
+  SELECT *, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '') AS tokens
+  FROM documents
+)"""
+
+_FP = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+
+_GRAMS = """
+grams AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(tokens) - 2, 0)),
+      i -> array_to_string(list_slice(tokens, i, i + 2), ' '))) AS g
+  FROM toks
+)"""
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["pipeline_parse"] = f"WITH_PRELUDE, {_PARSED} SELECT * FROM parsed"
+
+ORACLES["pipeline_route_counts"] = f"""WITH_PRELUDE, {_PARSED}, {_ROUTED}
+SELECT sink, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM routed GROUP BY sink
+"""
+
+ORACLES["pipeline_agg_terms"] = f"""WITH_PRELUDE, {_PARSED}, {_ROUTED},
+terms AS (
+  SELECT sink, conv_id,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+  FROM routed WHERE sink = 'errors'
+)
+SELECT sink, conv_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM terms WHERE term <> '' GROUP BY sink, conv_id, term
+"""
+
+ORACLES["pipeline_enrich"] = """WITH_PRELUDE,
+joined AS (
+  SELECT t.conv_id, r.role_kind, r.score_weight, tl.tool_family
+  FROM transcripts t
+  LEFT JOIN dim_roles r ON t.role = r.role
+  LEFT JOIN dim_tools tl ON t.tool = tl.tool
+)
+SELECT role_kind, tool_family, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       ROUND(SUM(score_weight), 1) AS weight_sum
+FROM joined GROUP BY role_kind, tool_family
+"""
+
+ORACLES["turn_ordering"] = """WITH_PRELUDE,
+rn AS (
+  SELECT conv_id, turn_idx,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS _rn
+  FROM transcripts
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       MAX(turn_idx) AS max_turn,
+       CAST(SUM(CASE WHEN _rn <> turn_idx THEN 1 ELSE 0 END) AS BIGINT)
+         AS order_violations
+FROM rn GROUP BY conv_id
+"""
+
+ORACLES["dynamic_fields"] = """WITH_PRELUDE,
+kv AS (
+  SELECT conv_id,
+    len(list_filter(
+      list_transform(regexp_extract_all(text, '(\\w+): ([\\w/.:]+)', 1),
+                     k -> k),
+      k -> k NOT IN ('bytes', 'op', 'duration'))) AS n_dyn
+  FROM transcripts
+)
+SELECT conv_id, CAST(SUM(n_dyn) AS BIGINT) AS dynamic_kv_total,
+       CAST(SUM(CASE WHEN n_dyn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rows_with_dynamic
+FROM kv GROUP BY conv_id
+"""
+
+ORACLES["lineage_counts"] = f"""WITH_PRELUDE, {_PARSED}, {_ROUTED}
+SELECT strftime(ts, '%Y-%m-%d') AS day, sink,
+       CAST(COUNT(*) AS BIGINT) AS doc_count
+FROM routed GROUP BY day, sink
+"""
+
+# A3 weights: text 10, level 8, tool/op 6, role/error_signature default 2
+ORACLES["search_substring_topk"] = f"""WITH_PRELUDE, {_PARSED},
+scored AS (
+  SELECT conv_id, turn_idx, CAST(
+      (CASE WHEN lower(text) LIKE '%error%' THEN 10 ELSE 0 END)
+    + (CASE WHEN lower(level) LIKE '%error%' THEN 8 ELSE 0 END)
+    + (CASE WHEN lower(role) LIKE '%error%' THEN 2 ELSE 0 END)
+    + (CASE WHEN lower(tool) LIKE '%error%' THEN 6 ELSE 0 END)
+    + (CASE WHEN lower(op) LIKE '%error%' THEN 6 ELSE 0 END)
+    + (CASE WHEN lower(error_signature) LIKE '%error%' THEN 2 ELSE 0 END)
+    AS DOUBLE) AS score
+  FROM parsed
+)
+SELECT conv_id, turn_idx, score FROM scored WHERE score > 0
+ORDER BY score DESC, conv_id, turn_idx LIMIT 100
+"""
+
+ORACLES["search_field_query"] = f"""WITH_PRELUDE, {_PARSED}
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM parsed
+WHERE op = 'HDFS_WRITE' AND duration >= 10 AND duration < 50
+GROUP BY conv_id
+"""
+
+ORACLES["search_bool_not"] = f"""WITH_PRELUDE, {_PARSED}
+SELECT level, error_signature, CAST(COUNT(*) AS BIGINT) AS n FROM parsed
+WHERE (level = 'ERROR' AND NOT error_signature = 'OutOfMemoryError')
+   OR level = 'WARN'
+GROUP BY level, error_signature
+"""
+
+_HITS = (
+    "len(list_filter(tokens, x -> list_contains({markers}, x)))"
+)
+_LANGS = {
+    "de": "['der', 'und', 'die']",
+    "en": "['the', 'and', 'of']",
+    "es": "['el', 'la', 'los']",
+    "fr": "['le', 'les', 'des']",
+    "zh": "['de5', 'shi4', 'zhong1']",
+}
+_HIT_COLS = ",\n    ".join(
+    f"{_HITS.format(markers=m)} AS h_{lang}" for lang, m in _LANGS.items()
+)
+
+ORACLES["lang_id"] = f"""WITH {_DOC_TOKS},
+hits AS (
+  SELECT lang, {_HIT_COLS}
+  FROM toks
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+         ELSE 'zh' END AS predicted
+  FROM hits
+)
+SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, predicted
+"""
+
+ORACLES["quality_buckets"] = f"""WITH {_DOC_TOKS},
+feat AS (
+  SELECT
+    len(tokens) AS n_tokens,
+    length(text) AS n_chars_m,
+    round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+          / greatest(length(text), 1), 4) AS punct_ratio,
+    round(len(list_filter(tokens, x -> list_contains(
+        ['the','a','an','and','or','of','to','in','is','it'], x)))
+          / greatest(len(tokens), 1), 4) AS stopword_ratio,
+    round(list_sum(list_transform(tokens, x -> length(x)))
+          / greatest(len(tokens), 1), 4) AS avg_token_len
+  FROM toks
+),
+bucketed AS (
+  SELECT *,
+    CASE WHEN n_tokens < 5 OR punct_ratio > 0.3 THEN 'low'
+         WHEN stopword_ratio > 0.05 THEN 'high'
+         ELSE 'mid' END AS quality_bucket
+  FROM feat
+)
+SELECT quality_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(avg(punct_ratio), 4) AS avg_punct,
+       round(avg(stopword_ratio), 4) AS avg_stopword,
+       round(avg(avg_token_len), 4) AS avg_tok_len
+FROM bucketed GROUP BY quality_bucket
+"""
+
+ORACLES["token_stats"] = f"""WITH {_DOC_TOKS},
+exploded AS (SELECT source, unnest(tokens) AS term FROM toks)
+SELECT e.source, CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms,
+       CAST(MAX(d.n_docs) AS BIGINT) AS n_docs
+FROM exploded e
+JOIN (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source) d
+  ON e.source = d.source
+GROUP BY e.source
+"""
+
+ORACLES["fingerprints"] = f"""
+SELECT source, CAST(COUNT(DISTINCT {_FP}) AS BIGINT) AS n_fingerprints,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+ORACLES["dedup_exact"] = f"""WITH_PRELUDE
+SELECT {_FP} AS fp, MIN(conv_id) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM transcripts GROUP BY fp HAVING COUNT(*) >= 2
+"""
+
+ORACLES["jaccard_adjacent"] = f"""WITH {_DOC_TOKS}, {_GRAMS}
+SELECT g1.doc_id AS a, g2.doc_id AS b,
+       round(len(list_intersect(g1.g, g2.g))
+             / greatest(len(list_distinct(g1.g || g2.g)), 1), 4) AS jaccard
+FROM grams g1 JOIN grams g2 ON g2.doc_id = g1.doc_id + 1
+"""
+
+ORACLES["knn_bruteforce"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+  FROM q, c WHERE query_id <> neighbor_id
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+"""
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DECIMAL(30,4)) AS sum_disc_price,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["join_topk"] = """
+SELECT o_orderkey, n_name, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY total DESC, o_orderkey LIMIT 20
+"""
+
+ORACLES["window_top_order"] = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS best_price,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, best_price FROM r WHERE rn = 1
+"""
+
+ORACLES["set_ops"] = """
+WITH o_open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+o_done AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+SELECT o_custkey, 'both' AS kind
+FROM (SELECT o_custkey FROM o_open INTERSECT SELECT o_custkey FROM o_done)
+UNION ALL
+SELECT o_custkey, 'only_open' AS kind
+FROM (SELECT o_custkey FROM o_open EXCEPT SELECT o_custkey FROM o_done)
+"""
+
+ORACLES["sessionize"] = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+  FROM events
+),
+g AS (
+  SELECT user_id, sec,
+         sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+           AS gap
+  FROM e
+),
+m AS (
+  SELECT user_id,
+         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM g
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM m GROUP BY user_id
+"""
+
+ORACLES["datetime_multiformat"] = """
+WITH s AS (
+  SELECT CAST(event_id % 4 AS INT) AS fmt,
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+      WHEN 1 THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')
+      WHEN 2 THEN CAST(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS VARCHAR)
+      ELSE CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS VARCHAR)
+    END AS raw
+  FROM events
+),
+p AS (
+  SELECT fmt, COALESCE(
+    TRY_CAST(raw AS TIMESTAMP),
+    CASE
+      WHEN abs(TRY_CAST(raw AS BIGINT)) BETWEEN 72057595 AND 8589934591
+        THEN to_timestamp(TRY_CAST(raw AS BIGINT))::TIMESTAMP
+      WHEN abs(TRY_CAST(raw AS BIGINT)) BETWEEN 72057595000 AND 8589934591000
+        THEN epoch_ms(TRY_CAST(raw AS BIGINT))
+      WHEN abs(TRY_CAST(raw AS BIGINT)) BETWEEN 72057595000000 AND 8589934591000000
+        THEN make_timestamp(TRY_CAST(raw AS BIGINT))
+    END) AS parsed
+  FROM s
+)
+SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(MIN(floor(epoch(parsed))) AS BIGINT) AS min_epoch,
+  CAST(MAX(floor(epoch(parsed))) AS BIGINT) AS max_epoch
+FROM p GROUP BY fmt
+"""
+
+ORACLES["parse_casts"] = """
+WITH raw AS (
+  SELECT
+    TRY_CAST(CASE WHEN event_id % 5 = 0 THEN 'not_a_number'
+                  ELSE CAST(value AS VARCHAR) END AS DOUBLE) AS num,
+    CASE WHEN TRY_CAST('-3' AS BIGINT) >= 0 THEN TRY_CAST('-3' AS BIGINT) END
+      AS neg_u64,
+    CASE lower(trim(CASE CAST(event_id % 4 AS INT)
+                    WHEN 0 THEN ' TRUE ' WHEN 1 THEN 'False'
+                    WHEN 2 THEN 'yes' ELSE 'truthy' END))
+      WHEN 'true' THEN TRUE WHEN 'false' THEN FALSE END AS b
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN num IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_nums,
+  round(SUM(num), 2) AS num_sum,
+  CAST(SUM(CASE WHEN neg_u64 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS neg_u64_null,
+  CAST(SUM(CASE WHEN b = TRUE THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(SUM(CASE WHEN b = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+  CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+FROM raw
+"""
+
+
+def build_oracles(sf_dir: str | None = None) -> dict[str, str]:
+    """Resolve the WITH_PRELUDE placeholder against the transcripts CTEs."""
+    prelude = oracle_prelude(sf_dir)
+    out = {}
+    for name, sql in ORACLES.items():
+        out[name] = sql.replace("WITH_PRELUDE", prelude)
+    return out

@@ -1,0 +1,346 @@
+"""Spark-side query registry — one callable per operator from SURVEY.md §2
+plus the training-pipeline extensions. Each callable: (spark, sf_dir) ->
+DataFrame, with every computed column aliased to match oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from . import pipeline
+from .operators import aggregate, dedup, parse, route, search, similarity, textstats
+from .transcripts import transcripts_df
+
+
+def _t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_df(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------- pipeline
+
+def q_pipeline_parse(spark, sf_dir):
+    return parse.parse_turns(_t(spark, sf_dir), dynamic=False)
+
+
+def q_route_counts(spark, sf_dir):
+    return route.route_counts(pipeline.parsed_enriched(spark, sf_dir))
+
+
+def q_agg_terms(spark, sf_dir):
+    tagged = route.routed(pipeline.parsed_enriched(spark, sf_dir))
+    return aggregate.term_counts(tagged.filter(F.col("sink") == "errors"))
+
+
+def q_enrich(spark, sf_dir):
+    enriched = pipeline.parsed_enriched(spark, sf_dir)
+    return enriched.groupBy("role_kind", "tool_family").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.round(F.sum("score_weight"), 1).alias("weight_sum"),
+    )
+
+
+def q_ordering(spark, sf_dir):
+    return aggregate.ordering_check(_t(spark, sf_dir))
+
+
+def q_dynamic_fields(spark, sf_dir):
+    """P1 leftover -> _dynamic map: per-conv count of unclaimed kv keys."""
+    parsed = parse.parse_turns(_t(spark, sf_dir), dynamic=True)
+    return parsed.groupBy("conv_id").agg(
+        F.sum(F.size("_dynamic")).alias("dynamic_kv_total"),
+        F.sum(F.when(F.size("_dynamic") > 0, 1).otherwise(0)).alias("rows_with_dynamic"),
+    )
+
+
+def q_lineage_counts(spark, sf_dir):
+    """A2 doc_count analog: per-(day, sink) routed row counts."""
+    tagged = route.routed(pipeline.parsed_enriched(spark, sf_dir))
+    return (
+        tagged.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day", "sink")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+# --------------------------------------------------------------- search
+
+def q_search_substring_topk(spark, sf_dir):
+    parsed = parse.parse_turns(_t(spark, sf_dir), dynamic=False)
+    top = search.substring_search(parsed, "error", limit=100)
+    return top.select("conv_id", "turn_idx", "score")
+
+
+def q_search_field_query(spark, sf_dir):
+    parsed = parse.parse_turns(_t(spark, sf_dir), dynamic=False)
+    hits = search.field_query_search(parsed, "op:HDFS_WRITE AND duration:[10 TO 50}")
+    return hits.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def q_search_bool_not(spark, sf_dir):
+    parsed = parse.parse_turns(_t(spark, sf_dir), dynamic=False)
+    hits = search.field_query_search(
+        parsed, "level:ERROR AND NOT error_signature:OutOfMemoryError OR level:WARN"
+    )
+    return hits.groupBy("level", "error_signature").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------------------------------------------------------ textstats
+
+def q_lang_id(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pred = docs.select(
+        "lang", textstats.lang_id_expr(F.col("text")).alias("predicted")
+    )
+    return pred.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_quality(spark, sf_dir):
+    q = textstats.quality_features(_docs(spark, sf_dir))
+    return q.groupBy("quality_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("punct_ratio"), 4).alias("avg_punct"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword"),
+        F.round(F.avg("avg_token_len"), 4).alias("avg_tok_len"),
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    return textstats.token_stats(_docs(spark, sf_dir), "source")
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.countDistinct(textstats.fingerprint_expr(F.col("text"))).alias("n_fingerprints"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dup groups in transcript text (WARN template rows collide by
+    construction: events e and e+n_docs share doc_text and WARN prefix)."""
+    return dedup.exact_dedup(_t(spark, sf_dir), id_col="conv_id", text_col="text")
+
+
+def q_jaccard_adjacent(spark, sf_dir):
+    return dedup.jaccard_adjacent(_docs(spark, sf_dir), n=3)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """rows-only check (banded-LSH bucketing isn't ANSI-SQL-expressible at
+    reasonable cost); correctness asserted in tests against exact Jaccard."""
+    return dedup.minhash_lsh_dedup(
+        _t(spark, sf_dir), id_col="conv_id", text_col="text", threshold=0.9
+    ).groupBy().agg(F.count(F.lit(1)).alias("n_pairs"), F.round(F.avg("jaccard"), 4).alias("avg_j"))
+
+
+def q_simhash(spark, sf_dir):
+    return (
+        dedup.simhash_dedup(_docs(spark, sf_dir), max_hamming=16)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ----------------------------------------------------------- similarity
+
+def q_knn_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+def q_lsh_ann(spark, sf_dir):
+    """rows-only: approximate by construction; recall asserted in tests."""
+    emb = _emb(spark, sf_dir)
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 10)
+    ann = similarity.lsh_bucketed_topk(emb, queries, dim=dim, k=5)
+    return ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"), F.max("cos_sim").alias("best"))
+
+
+# ------------------------------------------------- relational / TPC-H-ish
+
+def q_tpch_q1(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    d2 = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d2("l_quantity")).cast("decimal(30,4)").alias("sum_qty"),
+            F.sum(d2("l_extendedprice")).cast("decimal(30,4)").alias("sum_base_price"),
+            F.sum(d2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d2("l_discount")))
+            .cast("decimal(30,4)")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_topk(spark, sf_dir):
+    """Broadcast-dim join chain + true top-k (TakeOrderedAndProject)."""
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    nation = _tbl(spark, sf_dir, "nation")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return (
+        j.select(
+            "o_orderkey",
+            "n_name",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+        )
+        .orderBy(F.col("total").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q_window_top_order(spark, sf_dir):
+    orders = _tbl(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("best_price"),
+        )
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    orders = _tbl(spark, sf_dir, "orders")
+    o_open = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    o_done = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = o_open.intersect(o_done)
+    only_open = o_open.distinct().exceptAll(o_done.distinct())
+    return both.withColumn("kind", F.lit("both")).unionAll(
+        only_open.withColumn("kind", F.lit("only_open"))
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Event-time sessionization (gap > 30 min) — the batch analog of a
+    session window; stable ordering via (ts, event_id)."""
+    ev = _tbl(spark, sf_dir, "events").withColumn(
+        "sec", F.col("ts").cast("timestamp").cast("long")
+    )
+    # order by floor-seconds (not raw micros) so the oracle, which works in
+    # epoch seconds, pairs lag() rows identically
+    w = W.partitionBy("user_id").orderBy("sec", "event_id")
+    gap = F.col("sec") - F.lag("sec").over(w)
+    marked = ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sessions = marked.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_datetime_multiformat(spark, sf_dir):
+    """P4 parity: strings in 4 formats, parsed by the declared-order
+    multi-format parser with epoch auto-scaling (datetime.go:50-106)."""
+    from .functions.parsing import parse_datetime
+
+    ev = _tbl(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    fmt = (F.col("event_id") % 4).cast("int")
+    s = (
+        F.when(fmt == 0, F.date_format(ts, "yyyy-MM-dd HH:mm:ss"))
+        .when(fmt == 1, F.date_format(ts, "yyyy-MM-dd"))
+        .when(fmt == 2, F.unix_seconds(ts).cast("string"))
+        .otherwise(F.unix_millis(ts).cast("string"))
+    )
+    parsed = ev.select(
+        fmt.alias("fmt"), parse_datetime(s, ("date", "rfc3339", "timestamp")).alias("parsed")
+    )
+    return parsed.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("parsed").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.min(F.unix_seconds("parsed")).alias("min_epoch"),
+        F.max(F.unix_seconds("parsed")).alias("max_epoch"),
+    )
+
+
+def q_parse_casts(spark, sf_dir):
+    """P2/P3 parity: try_cast numbers (null on failure), length-guarded
+    boolean parse (field_parser.go:134-205) over event props-ish strings."""
+    from .functions.parsing import parse_boolean, parse_number
+
+    ev = _tbl(spark, sf_dir, "events")
+    raw_num = F.when(F.col("event_id") % 5 == 0, F.lit("not_a_number")).otherwise(
+        F.col("value").cast("string")
+    )
+    raw_bool = (
+        F.when(F.col("event_id") % 4 == 0, F.lit(" TRUE "))
+        .when(F.col("event_id") % 4 == 1, F.lit("False"))
+        .when(F.col("event_id") % 4 == 2, F.lit("yes"))
+        .otherwise(F.lit("truthy"))
+    )
+    p = ev.select(
+        parse_number(raw_num, "f64").alias("num"),
+        parse_number(F.lit("-3"), "u64").alias("neg_u64"),
+        parse_boolean(raw_bool).alias("b"),
+    )
+    return p.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("num").isNull(), 1).otherwise(0)).alias("bad_nums"),
+        F.round(F.sum("num").cast("double"), 2).alias("num_sum"),
+        F.sum(F.when(F.col("neg_u64").isNull(), 1).otherwise(0)).alias("neg_u64_null"),
+        F.sum(F.when(F.col("b") == True, 1).otherwise(0)).alias("n_true"),  # noqa: E712
+        F.sum(F.when(F.col("b") == False, 1).otherwise(0)).alias("n_false"),  # noqa: E712
+        F.sum(F.when(F.col("b").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+SPARK_QUERIES = {
+    "pipeline_parse": q_pipeline_parse,
+    "pipeline_route_counts": q_route_counts,
+    "pipeline_agg_terms": q_agg_terms,
+    "pipeline_enrich": q_enrich,
+    "turn_ordering": q_ordering,
+    "dynamic_fields": q_dynamic_fields,
+    "lineage_counts": q_lineage_counts,
+    "search_substring_topk": q_search_substring_topk,
+    "search_field_query": q_search_field_query,
+    "search_bool_not": q_search_bool_not,
+    "lang_id": q_lang_id,
+    "quality_buckets": q_quality,
+    "token_stats": q_token_stats,
+    "fingerprints": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "jaccard_adjacent": q_jaccard_adjacent,
+    "minhash_lsh_dedup": q_minhash_lsh,
+    "simhash_pairs": q_simhash,
+    "knn_bruteforce": q_knn_bruteforce,
+    "lsh_ann_topk": q_lsh_ann,
+    "tpch_q1": q_tpch_q1,
+    "join_topk": q_join_topk,
+    "window_top_order": q_window_top_order,
+    "set_ops": q_set_ops,
+    "sessionize": q_sessionize,
+    "datetime_multiformat": q_datetime_multiformat,
+    "parse_casts": q_parse_casts,
+}

@@ -1,0 +1,81 @@
+"""Near-dup + ANN operators: the rows-only queries' correctness backstop.
+
+MinHash-LSH and SimHash aren't oracle-SQL-checkable, so their guarantees are
+asserted here against exact kernels on constructed fixtures.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_distributed_log_search_spark.operators import dedup, similarity
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    for i in range(20):
+        rows.append((i, f"{base} variant {i} with unique suffix {i * 37}"))
+    # exact dup pair (100, 101) and near-dup pair (102, 103)
+    rows.append((100, base))
+    rows.append((101, base))
+    rows.append((102, base + " tail one"))
+    rows.append((103, base + " tail two"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].keeper == 100 and groups[0].n_members == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in dedup.minhash_lsh_dedup(
+        docs, n_hashes=32, bands=8, threshold=0.5
+    ).collect()}
+    assert (100, 101) in pairs and pairs[(100, 101)] == 1.0
+    assert (102, 103) in pairs
+    # verified jaccard must equal the exact kernel's value
+    exact = {(r.a, r.b): r.jaccard for r in dedup.jaccard_adjacent(docs).collect()}
+    assert pairs[(102, 103)] == exact[(102, 103)]
+
+
+def test_minhash_no_false_positives_after_verify(spark, docs):
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.95).collect()
+    for r in pairs:
+        assert r.jaccard >= 0.95
+
+
+def test_simhash_identical_docs_hamming_zero(spark, docs):
+    pairs = {(r.a, r.b): r.hamming for r in dedup.simhash_dedup(
+        docs, max_hamming=10
+    ).collect()}
+    assert pairs.get((100, 101)) == 0
+    assert (102, 103) in pairs  # near-dup within 10 bits
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    dim = len(emb.select("embedding").first()[0])
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_bucketed_topk(emb, queries, dim=dim, k=5, n_planes=16, bands=8)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 8 bands of 2 bits: generous candidate net -> decent recall on 500 vecs
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_brute_force_topk_shape(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0)
+    top = similarity.brute_force_topk(emb, q, k=3).collect()
+    assert len(top) == 3
+    assert [r.rank for r in top] == [1, 2, 3]
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r.neighbor_id != 0 for r in top)

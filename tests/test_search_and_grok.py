@@ -1,0 +1,64 @@
+"""Search semantics (P10/A3/T1) and grok-engine equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_distributed_log_search_spark.operators import parse, search
+from go_distributed_log_search_spark.transcripts import transcripts_df
+
+from .conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    return parse.parse_turns(transcripts_df(spark, SF0001), dynamic=False).cache()
+
+
+def test_limit_zero_returns_nothing(spark, parsed):
+    # search.go:45-47 fast path
+    assert search.substring_search(parsed, "error", limit=0).count() == 0
+
+
+def test_default_limit_one(spark, parsed):
+    # args.go:215-216: default limit 1
+    assert search.substring_search(parsed, "error").count() == 1
+
+
+def test_score_weights(spark, parsed):
+    # ERROR turns: text(+10) + level(+8) [+ error_signature(+2) if it
+    # contains 'error'] — search.go:230-243 weight classes
+    top = search.substring_search(parsed, "error", limit=5000).collect()
+    assert top, "expected matches"
+    assert {r.score for r in top} <= {18.0, 20.0}
+    oom = [r for r in top if "OutOfMemoryError" in r.text]
+    assert all(r.score == 20.0 for r in oom)
+
+
+def test_topk_deterministic(spark, parsed):
+    a = search.substring_search(parsed, "error", limit=10).collect()
+    b = search.substring_search(parsed, "error", limit=10).collect()
+    assert [(r.conv_id, r.turn_idx) for r in a] == [(r.conv_id, r.turn_idx) for r in b]
+
+
+def test_grok_udf_matches_catalyst(spark):
+    """The Arrow-vectorized grok engine and the Catalyst regexp exprs must
+    extract identical fields (both first-match-wins)."""
+    t = transcripts_df(spark, SF0001)
+    catalyst = parse.parse_turns(t, dynamic=False).select(
+        "conv_id", "turn_idx", "level", "error_signature", "tool_call"
+    )
+    udf = parse.parse_turns_grok_udf(t).select(
+        "conv_id", "turn_idx", "level", "error_signature", "tool_call"
+    )
+    key = lambda r: (r.conv_id, r.turn_idx)
+    c_rows = sorted(catalyst.collect(), key=key)
+    u_rows = sorted(udf.collect(), key=key)
+    assert c_rows == u_rows
+
+
+def test_match_predicate(spark, parsed):
+    pred = search.match_predicate(["text", "level"], "WARN")
+    n = parsed.filter(pred).count()
+    # all WARN rows match (case-insensitive substring)
+    warn = parsed.filter(F.col("level") == "WARN").count()
+    assert n >= warn > 0
