@@ -33,16 +33,14 @@ def sink_predicates() -> dict[str, Column]:
 
 
 def with_sink_tags(df: DataFrame) -> DataFrame:
-    """Compute the tag array once per row (array<string> ``sinks``)."""
+    """Compute the tag array once per row (array<string> ``sinks``).
+
+    Unmatched slots stay NULL inside the array; callers must drop them
+    after exploding. array_compact() here would be an ArrayFilter HOF —
+    interpreted eval, breaking whole-stage codegen on the fan-out hot path.
+    """
     preds = sink_predicates()
-    tags = F.array_compact(
-        F.array(
-            *[
-                F.when(preds[s], F.lit(s))
-                for s in SINKS
-            ]
-        )
-    )
+    tags = F.array(*[F.when(preds[s], F.lit(s)) for s in SINKS])
     return df.withColumn("sinks", tags)
 
 
@@ -51,9 +49,15 @@ def routed(df: DataFrame) -> DataFrame:
 
     This is the logical fan-out; the physical writer (streaming/microbatch)
     instead persists the tagged frame and runs one filtered append per sink
-    to avoid materializing the explode twice.
+    to avoid materializing the explode twice. The null-tag filter runs on
+    the exploded scalar column (codegen) rather than inside the array (HOF).
     """
-    return with_sink_tags(df).withColumn("sink", F.explode("sinks")).drop("sinks")
+    return (
+        with_sink_tags(df)
+        .withColumn("sink", F.explode("sinks"))
+        .filter(F.col("sink").isNotNull())
+        .drop("sinks")
+    )
 
 
 def route_counts(df: DataFrame) -> DataFrame:

@@ -42,7 +42,11 @@ def get_spark(
     dns_opts = (
         "-Dsun.net.inetaddr.ttl=-1 -Dsun.net.inetaddr.negative.ttl=-1 "
         "-Dnetworkaddress.cache.ttl=-1 -Dnetworkaddress.cache.negative.ttl=-1 "
-        "-Djava.net.preferIPv4Stack=true"
+        "-Djava.net.preferIPv4Stack=true "
+        # codegen-heavy workloads overflow the default 240MB code cache;
+        # once full, JIT stops/flushes and whole runs execute interpreted
+        # (measured 6-7x CPU on identical stages). 1G removes the cliff.
+        "-XX:ReservedCodeCacheSize=1g"
     )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -55,6 +59,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # local small-SF tuning: split packing at the default 128MB/4MB
+        # open-cost folds a 64-file table into ~8 splits, capping map-stage
+        # parallelism below the core count. Production (100 TB) keeps the
+        # 128MB default — splits are abundant there.
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # this sandbox runs under gVisor: file syscalls are expensive and
+        # the bypass shuffle writer's R-files-per-map-task pattern (x N
+        # concurrent tasks) causes multi-minute I/O stalls. Route shuffle
+        # and block storage through tmpfs and always use the sort-based
+        # writer (one data+index file per map task). On a real cluster
+        # neither knob applies (remote shuffle service / fast local disks).
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.host", "127.0.0.1")

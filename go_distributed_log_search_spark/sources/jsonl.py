@@ -1,0 +1,88 @@
+"""JSONL / stdin / Kafka source dispatch — S1/S2/S3/S4.
+
+Reference: /root/reference/src/commands/sources/mod.go:52-67 routes an input
+string: ``kafka://host/topic`` -> Kafka consumer, otherwise a file path ->
+line-by-line JSONL reader (buf_source.go:22-31), or stdin.
+
+Spark restatement: everything returns a DataFrame.
+- JSONL file: spark.read.text + from_json against the declared schema —
+  blank lines skipped (buf_source.go:56-58 parity), bad JSON surfaces as a
+  ``_corrupt`` flag column instead of aborting the batch (the reference
+  errors the whole run on one bad line; at 100 TB that is not an option,
+  so the engine quarantines instead — documented deviation).
+- stdin: read driver-side (small control-plane inputs only) into a local
+  DataFrame.
+- kafka://: Structured Streaming source; requires the Kafka connector jar
+  at runtime (absent in this sandbox -> clear ImportError-style failure).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType, keep_corrupt: bool = True
+) -> DataFrame:
+    """S1: newline-delimited JSON with blank-line skip and corrupt-row
+    quarantine. The parsed struct is exploded into top-level columns."""
+    raw = spark.read.text(path)
+    nonblank = raw.filter(F.length(F.trim("value")) > 0)
+    parsed = nonblank.select(
+        F.from_json("value", schema).alias("d"), F.col("value").alias("_raw")
+    )
+    out = parsed.select("d.*", F.col("d").isNull().alias("_corrupt"), "_raw")
+    if not keep_corrupt:
+        out = out.filter(~F.col("_corrupt")).drop("_corrupt", "_raw")
+    else:
+        out = out.drop("_raw")
+    return out
+
+
+def read_stdin(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """S2: stdin JSONL (driver-side; control-plane sized inputs)."""
+    lines = [ln for ln in sys.stdin.read().splitlines() if ln.strip()]
+    raw = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    return raw.select(F.from_json("value", schema).alias("d")).select("d.*")
+
+
+def read_kafka(
+    spark: SparkSession, url: str, schema: T.StructType, stream: bool
+) -> DataFrame:
+    """S3: kafka://host:9092/topic (kafka_source.go:27-55 URL parsing).
+    Batch mode reads from earliest (kafka_source.go:306-310 parity)."""
+    rest = url[len("kafka://"):]
+    servers, _, topic = rest.partition("/")
+    if not topic:
+        raise ValueError(f"kafka url must be kafka://host:port/topic, got {url}")
+    reader = spark.readStream if stream else spark.read
+    df = (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest" if stream else "earliest")
+        .load()
+    )
+    return df.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("d"),
+        "partition",
+        "offset",
+    ).select("d.*", "partition", "offset")
+
+
+def connect_to_source(
+    spark: SparkSession, input_: str, schema: T.StructType, stream: bool = False
+) -> DataFrame:
+    """S4 dispatch (sources/mod.go:52-67): kafka:// | '-' (stdin) | path.
+    --stream rejected for files, exactly as the reference."""
+    if input_.startswith("kafka://"):
+        return read_kafka(spark, input_, schema, stream)
+    if stream:
+        raise ValueError("--stream is only supported for kafka:// sources")
+    if input_ == "-":
+        return read_stdin(spark, schema)
+    return read_jsonl(spark, input_, schema)

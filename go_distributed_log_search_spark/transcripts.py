@@ -196,13 +196,54 @@ def transcripts_df(spark: SparkSession, sf_dir: str, materialize: bool = True) -
     path = os.path.join(cache_root, f"transcripts_{sf_name}.parquet")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
+        # ROUND-ROBIN 64-way layout — deliberately NOT partitioned by
+        # conv_id. The conv distribution is Zipf-skewed (two hot convs own
+        # ~40% of turns); key-partitioned files would concentrate a hot
+        # conv into one file and any map stage scanning it gets a 5-20x
+        # straggler task (measured: this was the source of wildly bimodal
+        # run times). Even file sizes -> even map tasks; stages that need
+        # conv-locality or turn order impose it explicitly
+        # (repartition(conv_id) + sortWithinPartitions, SURVEY.md §4.2) —
+        # same discipline as size-balanced Iceberg data files at 100 TB.
         (
             transcripts_view_df(spark, sf_dir)
-            .repartition("conv_id")
-            .sortWithinPartitions("conv_id", "turn_idx")
+            .repartition(64)
             .write.mode("overwrite")
             .parquet(path)
         )
+    return spark.read.parquet(path)
+
+
+def transcripts_scaled_df(
+    spark: SparkSession, sf_dir: str, mult: int
+) -> DataFrame:
+    """A mult-replicated transcripts table, materialized once.
+
+    Replication happens ON DISK (distinct conv_id per replica, preserving
+    the skew shape) so every consumer — any parallelism level, any run —
+    scans the identical table with the identical plan and identical
+    generated code. In-plan explode-replication would embed ``mult`` as a
+    codegen literal: every new factor pays a fresh interpreted+JIT ramp
+    (minutes at 10^6 rows in this sandbox).
+    """
+    if mult <= 1:
+        return transcripts_df(spark, sf_dir)
+    import os
+
+    from pyspark.sql import functions as F
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    cache_root = os.environ.get(
+        "SPARK_GRAFT_CACHE", os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache")
+    )
+    path = os.path.join(cache_root, f"transcripts_{sf_name}_x{mult}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = transcripts_df(spark, sf_dir)
+        rep = base.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+        out = rep.withColumn(
+            "conv_id", F.concat_ws("#", "conv_id", F.col("rep").cast("string"))
+        ).drop("rep")
+        out.repartition(64).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
