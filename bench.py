@@ -66,18 +66,26 @@ def _pipeline_job(spark, sf_dir: str, mult: int):
     # mult and every session runs the IDENTICAL plan -> identical generated
     # classes -> the JVM-global codegen cache + JIT state carry across the
     # local[8]/local[32] probe sessions (PySpark reuses one JVM).
+    del cpus
+    # Parallelism comes from file splits (the caches are written as 64
+    # size-balanced files and session.py sizes maxPartitionBytes so every
+    # file is its own split). Round 1 used a round-robin repartition(2*cpus)
+    # here instead — that was a measured disaster: RoundRobinPartitioning
+    # local-sorts every row by ALL columns (spark.sql.execution.
+    # sortBeforeRepartition, on by default for determinism) and shuffles the
+    # full text column the scan had already split evenly.
     base = transcripts_scaled_df(spark, sf_dir, mult)
-    # explicit repartition before the CPU-heavy stages: the zstd-parquet
-    # input is byte-small, so byte-based split packing under-parallelizes
-    # a compute-bound map stage. Even round-robin distribution, sized to
-    # the session (2 waves per core).
-    base = base.repartition(2 * cpus)
 
     # build the plan ONCE — each run() re-executes the same physical plan
-    # and generated code (rebuilding per run churns the JVM code cache)
+    # and generated code (rebuilding per run churns the JVM code cache).
+    # Hot keys are detected from the compact base (one tiny sample job).
+    hot = aggregate.detect_hot_keys(base, "conv_id")
     enriched = enrich.enrich_turns(parse.parse_turns(base), spark)
     tagged = route.routed(enriched)
-    aggs = aggregate.term_counts(tagged)
+    # num_partitions pinned so the physical plan is IDENTICAL at every
+    # parallelism level (a real N vs 4N cluster comparison holds
+    # shuffle.partitions constant too); 64 bounds per-task agg state
+    aggs = aggregate.term_counts(tagged, hot_keys=hot, num_partitions=64)
 
     def run():
         return aggs.count()
@@ -98,7 +106,9 @@ def _timed_session(cpus: int, mult: int) -> tuple[float, int]:
     """
     from go_distributed_log_search_spark.session import get_spark
 
-    spark = get_spark(f"bench-scale-{cpus}", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    # shuffle.partitions pinned to 64 at EVERY parallelism level: scaling
+    # runs must execute the identical plan, differing only in cores
+    spark = get_spark(f"bench-scale-{cpus}", cpus=cpus, shuffle_partitions=64)
     try:
         n_rows, run = _pipeline_job(spark, SF_DIR, mult)
         prev = float("inf")

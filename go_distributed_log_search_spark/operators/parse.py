@@ -20,7 +20,7 @@ columns. At 100 TB this stage is scan-bound, exactly as it should be.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import grok
@@ -50,15 +50,34 @@ def parse_turns(df: DataFrame, dynamic: bool = True) -> DataFrame:
         grok.kv_long_expr(text, "duration").alias("duration"),
     )
     if dynamic:
+        # defensive: the harness may run this in a session without
+        # session.py's defaults; EXCEPTION (the default policy) would abort
+        # the whole job on one repeated `key: value` in free text
+        df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         kvs = F.regexp_extract_all(text, F.lit(_KV_PATTERN), F.lit(0))
         keys = F.transform(kvs, lambda kv: F.regexp_extract(kv, _KV_PATTERN, 1))
         vals = F.transform(kvs, lambda kv: F.regexp_extract(kv, _KV_PATTERN, 2))
+        # duplicate keys within one line are legal (free text can repeat
+        # `src: ...`); map construction resolves them last-win via
+        # spark.sql.mapKeyDedupPolicy=LAST_WIN (session.py) — the analog of
+        # the reference overwriting a doc field on re-parse. Occurrence
+        # counts (which the oracle checks) come from
+        # unclaimed_kv_count_expr over the raw array, not from the map.
         dyn = F.map_filter(
             F.map_from_arrays(keys, vals),
             lambda k, v: ~k.isin(*CLAIMED_KEYS),
         )
         out = out.withColumn("_dynamic", dyn)
     return out
+
+
+def unclaimed_kv_count_expr(text: Column) -> Column:
+    """Number of unclaimed `key: value` OCCURRENCES in the text body
+    (duplicates counted, matching the DuckDB oracle's list semantics —
+    F.size(_dynamic) would count distinct keys only)."""
+    kvs = F.regexp_extract_all(text, F.lit(_KV_PATTERN), F.lit(0))
+    keys = F.transform(kvs, lambda kv: F.regexp_extract(kv, _KV_PATTERN, 1))
+    return F.size(F.filter(keys, lambda k: ~k.isin(*CLAIMED_KEYS)))
 
 
 def parse_turns_grok_udf(df: DataFrame) -> DataFrame:

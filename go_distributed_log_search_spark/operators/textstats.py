@@ -70,10 +70,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stopword_ratio": F.round(
                 stop_hits / F.greatest(n_tokens, F.lit(1)).cast("double"), 4
             ),
-            "avg_token_len": F.round(
-                F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-                / F.greatest(n_tokens, F.lit(1)).cast("double"),
-                4,
+            # NULL (not 0.0) for token-less docs: DuckDB's list_sum of an
+            # empty list is NULL and AVG skips it — emitting 0.0 here would
+            # skew the downstream avg on one engine only (ADVICE r01)
+            "avg_token_len": F.when(
+                n_tokens > 0,
+                F.round(
+                    F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+                    / n_tokens.cast("double"),
+                    4,
+                ),
             ),
         }
     )

@@ -31,12 +31,17 @@ def parsed_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_pipeline(spark: SparkSession, sf_dir: str, nsalt: int = aggregate.DEFAULT_NSALT) -> dict[str, DataFrame]:
     """Full flow; returns the principal DataFrames (lazy)."""
+    base = transcripts_df(spark, sf_dir)
     enriched = parsed_enriched(spark, sf_dir)
     tagged = route.routed(enriched)
+    # heavy-hitter detection samples the raw transcripts (pre-parse plan:
+    # just the conv_id column) rather than the routed frame, so the sample
+    # job doesn't drag the parse regexes along
+    hot = aggregate.detect_hot_keys(base, "conv_id")
     return {
         "enriched": enriched,
         "routed": tagged,
         "route_counts": route.route_counts(enriched),
-        "agg_terms": aggregate.term_counts(tagged, nsalt=nsalt),
-        "ordering": aggregate.ordering_check(transcripts_df(spark, sf_dir)),
+        "agg_terms": aggregate.term_counts(tagged, nsalt=nsalt, hot_keys=hot),
+        "ordering": aggregate.ordering_check(base),
     }

@@ -59,11 +59,14 @@ def q_ordering(spark, sf_dir):
 
 
 def q_dynamic_fields(spark, sf_dir):
-    """P1 leftover -> _dynamic map: per-conv count of unclaimed kv keys."""
+    """P1 leftover -> _dynamic: per-conv count of unclaimed kv OCCURRENCES
+    (duplicate keys counted; F.size(_dynamic) would dedup — ADVICE r01)."""
     parsed = parse.parse_turns(_t(spark, sf_dir), dynamic=True)
-    return parsed.groupBy("conv_id").agg(
-        F.sum(F.size("_dynamic")).alias("dynamic_kv_total"),
-        F.sum(F.when(F.size("_dynamic") > 0, 1).otherwise(0)).alias("rows_with_dynamic"),
+    n_dyn = parse.unclaimed_kv_count_expr(F.col("text"))
+    counted = parsed.select("conv_id", n_dyn.alias("_n_dyn"))
+    return counted.groupBy("conv_id").agg(
+        F.sum("_n_dyn").alias("dynamic_kv_total"),
+        F.sum(F.when(F.col("_n_dyn") > 0, 1).otherwise(0)).alias("rows_with_dynamic"),
     )
 
 
@@ -145,9 +148,16 @@ def q_jaccard_adjacent(spark, sf_dir):
 
 def q_minhash_lsh(spark, sf_dir):
     """rows-only check (banded-LSH bucketing isn't ANSI-SQL-expressible at
-    reasonable cost); correctness asserted in tests against exact Jaccard."""
+    reasonable cost); correctness asserted in tests against exact Jaccard.
+
+    Keyed by the unique (conv_id, turn_idx) — keying by conv_id alone made
+    the verify join fan out (turns_a x turns_b) per candidate pair (r01:
+    192 s of interpreted array_intersect on this one query)."""
+    t = _t(spark, sf_dir).withColumn(
+        "turn_id", F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+    )
     return dedup.minhash_lsh_dedup(
-        _t(spark, sf_dir), id_col="conv_id", text_col="text", threshold=0.9
+        t, id_col="turn_id", text_col="text", threshold=0.9
     ).groupBy().agg(F.count(F.lit(1)).alias("n_pairs"), F.round(F.avg("jaccard"), 4).alias("avg_j"))
 
 

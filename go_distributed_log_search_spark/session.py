@@ -34,6 +34,7 @@ def get_spark(
     """Build (or reuse) a SparkSession with scale-appropriate defaults."""
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     # The sandbox resolver points at a blackhole nameserver; any stray
     # JVM DNS lookup stalls for its full timeout. Pin everything to
     # 127.0.0.1 and cache negative lookups forever.
@@ -46,7 +47,24 @@ def get_spark(
         # codegen-heavy workloads overflow the default 240MB code cache;
         # once full, JIT stops/flushes and whole runs execute interpreted
         # (measured 6-7x CPU on identical stages). 1G removes the cliff.
-        "-XX:ReservedCodeCacheSize=1g"
+        "-XX:ReservedCodeCacheSize=1g "
+        # C1-only JIT: in this sandbox C2 compilation of the large generated
+        # whole-stage-codegen methods is starved whenever all cores run
+        # executor threads — measured multi-minute interpreted ramps at
+        # local[32] (25s+ steady state) vs a 5.8s floor reached within 3
+        # runs under C1. Short-lived local sessions never amortize C2
+        # anyway; production clusters (long-lived executors, dedicated
+        # cores) should drop this flag via SPARK_GRAFT_JIT_OPTS.
+        + os.environ.get("SPARK_GRAFT_JIT_OPTS", "-XX:TieredStopAtLevel=1")
+        # Fixed, fully pre-touched heap: this sandbox's first-touch page
+        # faults are extremely expensive (gVisor-style MM) — with the
+        # default growing heap the FIRST pipeline run page-faults its way
+        # through heap growth and measured 8+ MINUTES where steady state is
+        # 10s. Pre-touching at startup moves that cost to one predictable
+        # sequential pass. 12g (not 48g) keeps the pre-touch and GC scans
+        # proportionate to the sandbox working set; production executors
+        # size their own heaps.
+        + f" -Xms{driver_mem} -XX:+AlwaysPreTouch"
     )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -56,15 +74,29 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 routes lower()/upper() under UTF8_BINARY through ICU
+        # (CollationSupport.Lower.execBinaryICU). In this sandbox that path
+        # collapses under concurrency — thread dumps show every executor
+        # parked inside execBinaryICU with the machine idle (minutes-long
+        # stalls on a 5s stage). The JVM implementation is the Spark <= 3.5
+        # behavior, matches DuckDB's lower() on this corpus, and is ~free.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
+        # duplicate keys in a built map must not abort the job (a log line
+        # can legitimately repeat `key: value`); last-win mirrors the
+        # reference's per-doc field overwrite semantics
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         # local small-SF tuning: split packing at the default 128MB/4MB
-        # open-cost folds a 64-file table into ~8 splits, capping map-stage
-        # parallelism below the core count. Production (100 TB) keeps the
-        # 128MB default — splits are abundant there.
-        .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.sql.files.openCostInBytes", "1m")
+        # open-cost folds a 64-file table into a handful of splits, capping
+        # map-stage parallelism far below the core count (the map stages
+        # here are compute-bound: regex parse + tokenize explode + partial
+        # agg). 4m/4m makes every ~1MB cache file its own split -> split
+        # count == file count == 64 == 2 waves on 32 cores. Production
+        # (100 TB) keeps the 128MB default — splits are abundant there.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "4m")
         # this sandbox runs under gVisor: file syscalls are expensive and
         # the bypass shuffle writer's R-files-per-map-task pattern (x N
         # concurrent tasks) causes multi-minute I/O stalls. Route shuffle

@@ -99,17 +99,25 @@ class Warehouse:
 
     def compact(self, table: str, target_partitions: int = 4) -> None:
         """U1 merge analog (merge.go:24-85): read-repartition-rewrite.
-        Iceberg's rewrite_data_files equivalent; unlike the reference's
-        non-atomic delete-after-insert window, the swap is a directory
-        rename after a full successful write."""
-        src = self.path(table)
-        tmp = src + ".compact.tmp"
-        df = self.spark.read.parquet(src)
-        df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+        Iceberg's rewrite_data_files equivalent. Swap order keeps the table
+        recoverable at every step (ADVICE r01): write tmp -> rename live
+        aside -> rename tmp live -> delete old. A crash between the two
+        renames leaves no live directory but BOTH copies intact on disk
+        (".compact.old" is the pre-compact table, ".compact.tmp" the full
+        rewrite) — unlike rmtree-then-rename, which had a window where the
+        only copy was gone. True single-metadata-op atomicity is what the
+        Iceberg snapshot swap provides in production."""
         import shutil
 
-        shutil.rmtree(src)
+        src = self.path(table)
+        tmp = src + ".compact.tmp"
+        old = src + ".compact.old"
+        df = self.spark.read.parquet(src)
+        df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(src, old)
         os.replace(tmp, src)
+        shutil.rmtree(old)
 
     # ------------------------------------------------ lineage / checkpoints
 

@@ -30,16 +30,29 @@ def read_jsonl(
 ) -> DataFrame:
     """S1: newline-delimited JSON with blank-line skip and corrupt-row
     quarantine. The parsed struct is exploded into top-level columns."""
+    # Corrupt detection: since Spark 3.0 PERMISSIVE from_json returns a row
+    # of nulls (NOT a null struct) for malformed JSON, so `d IS NULL` never
+    # fires. The supported signal is a columnNameOfCorruptRecord field
+    # appended to the schema: non-null iff the line failed to parse.
+    corrupt_col = "_corrupt_record"
+    schema_with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
     raw = spark.read.text(path)
     nonblank = raw.filter(F.length(F.trim("value")) > 0)
     parsed = nonblank.select(
-        F.from_json("value", schema).alias("d"), F.col("value").alias("_raw")
+        F.from_json(
+            "value",
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("d")
     )
-    out = parsed.select("d.*", F.col("d").isNull().alias("_corrupt"), "_raw")
+    out = parsed.select(
+        *[F.col(f"d.{f.name}") for f in schema.fields],
+        F.col(f"d.{corrupt_col}").isNotNull().alias("_corrupt"),
+    )
     if not keep_corrupt:
-        out = out.filter(~F.col("_corrupt")).drop("_corrupt", "_raw")
-    else:
-        out = out.drop("_raw")
+        out = out.filter(~F.col("_corrupt")).drop("_corrupt")
     return out
 
 

@@ -36,11 +36,17 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
     pairs = {(r.a, r.b): r.jaccard for r in dedup.minhash_lsh_dedup(
         docs, n_hashes=32, bands=8, threshold=0.5
     ).collect()}
-    assert (100, 101) in pairs and pairs[(100, 101)] == 1.0
+    # exact dups are collapsed before LSH (exact-then-near composition):
+    # (100, 101) is exact_dedup's output, NOT a minhash pair...
+    assert (100, 101) not in pairs
+    # ...but the surviving representative still pairs with its near-dup
     assert (102, 103) in pairs
     # verified jaccard must equal the exact kernel's value
     exact = {(r.a, r.b): r.jaccard for r in dedup.jaccard_adjacent(docs).collect()}
     assert pairs[(102, 103)] == exact[(102, 103)]
+    # the collapsed cluster's representative (100) still near-dup-matches
+    # docs that neighbor the cluster text
+    assert any(a == 100 or b == 100 for (a, b) in pairs)
 
 
 def test_minhash_no_false_positives_after_verify(spark, docs):
