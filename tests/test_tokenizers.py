@@ -1,0 +1,46 @@
+"""Tokenizer modes (config/mod.go:53-58): default / raw / whitespace /
+en_stem. default/raw/whitespace are oracle-backed via the terms_* driver
+queries; en_stem (an approximation of Bluge's stemmer, documented as such)
+is pinned here against fixed token lists."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_distributed_log_search_spark.functions import tokenize
+
+
+@pytest.fixture(scope="module")
+def one(spark):
+    def run(expr):
+        return spark.range(1).select(expr.alias("v")).first().v
+
+    return run
+
+
+def test_default_lowercases_and_splits(one):
+    got = one(tokenize.tokenize(F.lit("Hello, World-42!  x"), "default"))
+    assert got == ["hello", "world", "42", "x"]
+
+
+def test_whitespace_preserves_case_and_punct(one):
+    got = one(tokenize.tokenize(F.lit("  Hello,  World-42! "), "whitespace"))
+    assert got == ["Hello,", "World-42!"]
+
+
+def test_raw_whole_value_single_term(one):
+    got = one(tokenize.tokenize(F.lit("  ERROR Level  "), "raw"))
+    assert got == ["ERROR Level"]
+
+
+def test_en_stem_fixed_tokens(one):
+    # sses->ss, ies->i, trailing s (not ss), ing/ed after a vowel
+    got = one(tokenize.tokenize(
+        F.lit("classes entries errors running jumped pass kiss"), "en_stem"
+    ))
+    assert got == ["class", "entri", "error", "runn", "jump", "pass", "kiss"]
+
+
+def test_en_stem_keeps_short_and_vowelless(one):
+    # no vowel before 'ing' -> untouched; bare 'ss' kept
+    got = one(tokenize.tokenize(F.lit("string thing ss"), "en_stem"))
+    assert got == ["string", "thing", "ss"]
