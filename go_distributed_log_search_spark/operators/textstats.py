@@ -34,6 +34,26 @@ def token_count_expr(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0)))
 
 
+# GPT-2-style pre-tokenizer, restricted to the RE2-compatible subset (no
+# lookahead — RE2/DuckDB lacks it; Java and RE2 both match leftmost-first
+# here so counts agree across engines): contractions, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation runs,
+# whitespace runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def ws_token_count_expr(text: Column) -> Column:
+    """Whitespace token count (the cheap estimator)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0)))
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """BPE-ish token-count estimator: counts GPT-2-pre-tokenizer pieces —
+    the standard fast proxy for LLM token budgets (true BPE merges only
+    ever split these pieces further by a roughly constant factor)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
     toks = tokenize(text, "default")
     hits = F.filter(toks, lambda t: t.isin(*markers))

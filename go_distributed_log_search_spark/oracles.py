@@ -293,6 +293,24 @@ JOIN (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source) d
 GROUP BY e.source
 """
 
+# RE2-safe GPT-2-ish pre-tokenizer (no lookahead); leftmost-first in both
+# Java regex (Spark) and RE2 (DuckDB) so piece counts agree. The leading
+# apostrophe is doubled: it sits inside a SQL single-quoted literal.
+_BPE_ISH = r"''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+ORACLES["token_budget"] = f"""
+WITH counted AS (
+  SELECT source,
+         len(regexp_extract_all(text, '\\S+')) AS ws,
+         len(regexp_extract_all(text, '{_BPE_ISH}')) AS bpe
+  FROM documents
+)
+SELECT source, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       round(SUM(bpe) / SUM(ws), 4) AS bpe_per_ws
+FROM counted GROUP BY source
+"""
+
 ORACLES["fingerprints"] = f"""
 SELECT source, CAST(COUNT(DISTINCT {_FP}) AS BIGINT) AS n_fingerprints,
        CAST(COUNT(*) AS BIGINT) AS n_docs

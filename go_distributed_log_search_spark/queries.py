@@ -172,6 +172,22 @@ def q_token_stats(spark, sf_dir):
     return textstats.token_stats(_docs(spark, sf_dir), "source")
 
 
+def q_token_budget(spark, sf_dir):
+    """LLM token-budget estimators per source: whitespace count + BPE-ish
+    (GPT-2 pre-tokenizer piece) count; ratio from integer sums."""
+    docs = _docs(spark, sf_dir)
+    counted = docs.select(
+        "source",
+        textstats.ws_token_count_expr(F.col("text")).alias("_ws"),
+        textstats.bpe_token_count_expr(F.col("text")).alias("_bpe"),
+    )
+    return counted.groupBy("source").agg(
+        F.sum("_ws").alias("ws_tokens"),
+        F.sum("_bpe").alias("bpe_tokens"),
+        F.round(F.sum("_bpe") / F.sum("_ws"), 4).alias("bpe_per_ws"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.groupBy("source").agg(
@@ -459,6 +475,7 @@ SPARK_QUERIES = {
     "lang_id": q_lang_id,
     "quality_buckets": q_quality,
     "token_stats": q_token_stats,
+    "token_budget": q_token_budget,
     "fingerprints": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "jaccard_adjacent": q_jaccard_adjacent,

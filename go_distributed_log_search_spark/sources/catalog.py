@@ -130,6 +130,17 @@ class Warehouse:
             "lineage", [(batch_id, sink, row_count, time.time())], LINEAGE_SCHEMA
         )
 
+    def record_lineage_many(self, batch_id: str, counts: dict[str, int]) -> None:
+        """One append for a whole batch's lineage (one tiny Spark job
+        instead of one per sink — the write is still AFTER all data
+        commits, preserving the ST3 ordering)."""
+        now = time.time()
+        self._append_rows(
+            "lineage",
+            [(batch_id, sink, n, now) for sink, n in counts.items()],
+            LINEAGE_SCHEMA,
+        )
+
     def lineage(self) -> DataFrame:
         return self.read("lineage")
 

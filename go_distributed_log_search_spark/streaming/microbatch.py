@@ -85,15 +85,20 @@ def run_microbatch_ingest(
         routed = route.routed(enriched).persist()
         try:
             # 1. sink appends (S5 commit)
+            counts: dict[str, int] = {}
             for sink in route.SINKS:
                 sink_df = routed.filter(F.col("sink") == sink).drop("sink")
-                n = wh.append_batch(sink_df, f"sink_{sink}", batch_id)
-                # 2. lineage row AFTER data commit (A2, mod.go:362-365)
-                wh.record_lineage(batch_id, sink, n)
-            # aggregate table rides the same batch cycle
-            aggs = aggregate.term_counts(routed)
+                counts[sink] = wh.append_batch(sink_df, f"sink_{sink}", batch_id)
+            # aggregate table rides the same batch cycle. hot_keys=None: a
+            # micro-batch is a bounded slice — partial agg absorbs its skew;
+            # per-batch sample-based detection would add two jobs per batch
+            # for nothing (callers with known hot keys pass them through).
+            aggs = aggregate.term_counts(routed, hot_keys=None)
             wh.append_batch(aggs, "agg_terms", batch_id)
-            wh.record_lineage(batch_id, "agg_terms", -1)
+            counts["agg_terms"] = -1
+            # 2. lineage rows AFTER all data commits (A2, mod.go:362-365);
+            # one append for the whole batch
+            wh.record_lineage_many(batch_id, counts)
         finally:
             routed.unpersist()
         # 3. checkpoint LAST (ST3 ordering, index.go:258-274)

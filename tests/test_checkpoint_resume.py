@@ -47,17 +47,17 @@ def test_cold_run_commits_everything(spark, transcripts, tmp_path):
 
 def test_crash_resume_equals_cold_run(spark, transcripts, tmp_path):
     cold = Warehouse(spark, str(tmp_path / "cold"))
-    microbatch.run_microbatch_ingest(spark, transcripts, cold, n_parts=8, parts_per_batch=2)
+    microbatch.run_microbatch_ingest(spark, transcripts, cold, n_parts=4, parts_per_batch=1)
 
     crashed = Warehouse(spark, str(tmp_path / "crashed"))
     with pytest.raises(RuntimeError, match="simulated crash"):
         microbatch.run_microbatch_ingest(
-            spark, transcripts, crashed, n_parts=8, parts_per_batch=2, fail_after_batches=2
+            spark, transcripts, crashed, n_parts=4, parts_per_batch=1, fail_after_batches=2
         )
     # resume: checkpoints skip the two committed batches
-    pending_before = microbatch.pending_partitions(crashed, list(range(8)))
-    assert len(pending_before) == 4
-    microbatch.run_microbatch_ingest(spark, transcripts, crashed, n_parts=8, parts_per_batch=2)
+    pending_before = microbatch.pending_partitions(crashed, list(range(4)))
+    assert len(pending_before) == 2
+    microbatch.run_microbatch_ingest(spark, transcripts, crashed, n_parts=4, parts_per_batch=1)
 
     assert _sink_state(cold) == _sink_state(crashed)
 
@@ -79,7 +79,7 @@ def test_compact_preserves_data(spark, transcripts, tmp_path):
     (merge.go:24-85; doc identity preserved unlike the reference's
     renumbering, merge.go:145)."""
     wh = Warehouse(spark, str(tmp_path / "wh"))
-    microbatch.run_microbatch_ingest(spark, transcripts, wh, n_parts=8, parts_per_batch=2)
+    microbatch.run_microbatch_ingest(spark, transcripts, wh, n_parts=4, parts_per_batch=2)
     before = _sink_state(wh)
     wh.compact("sink_errors", target_partitions=2)
     assert _sink_state(wh) == before

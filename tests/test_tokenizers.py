@@ -40,6 +40,15 @@ def test_en_stem_fixed_tokens(one):
     assert got == ["class", "entri", "error", "runn", "jump", "pass", "kiss"]
 
 
+def test_bpe_ish_token_budget(one):
+    from go_distributed_log_search_spark.operators import textstats
+
+    text = F.lit("don't stop, it's 42km!")
+    assert one(textstats.ws_token_count_expr(text)) == 4
+    # don | 't | ' stop' | ',' | ' it' | 's-contraction | ' 42' | km | '!'
+    assert one(textstats.bpe_token_count_expr(text)) == 9
+
+
 def test_en_stem_keeps_short_and_vowelless(one):
     # no vowel before 'ing' -> untouched; bare 'ss' kept
     got = one(tokenize.tokenize(F.lit("string thing ss"), "en_stem"))
