@@ -188,6 +188,18 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) next to the exact count per source —
+    the clearly-labeled extension SURVEY §2.4 anticipates (Bluge embeds
+    HLL but the reference never exposes it). Rows-only: the sketch
+    estimate is engine-specific; relative error pinned in tests."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.countDistinct("text").alias("exact_distinct"),
+        F.approx_count_distinct("text", 0.02).alias("approx_distinct"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.groupBy("source").agg(
@@ -476,6 +488,7 @@ SPARK_QUERIES = {
     "quality_buckets": q_quality,
     "token_stats": q_token_stats,
     "token_budget": q_token_budget,
+    "approx_distinct": q_approx_distinct,
     "fingerprints": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "jaccard_adjacent": q_jaccard_adjacent,

@@ -53,3 +53,13 @@ def test_en_stem_keeps_short_and_vowelless(one):
     # no vowel before 'ing' -> untouched; bare 'ss' kept
     got = one(tokenize.tokenize(F.lit("string thing ss"), "en_stem"))
     assert got == ["string", "thing", "ss"]
+
+
+def test_approx_distinct_close_to_exact(spark):
+    from .conftest import SF0001
+    from go_distributed_log_search_spark.queries import q_approx_distinct
+
+    for r in q_approx_distinct(spark, SF0001).collect():
+        assert abs(r.approx_distinct - r.exact_distinct) <= max(
+            3, 0.05 * r.exact_distinct
+        ), r
