@@ -1,0 +1,79 @@
+"""As-of join — match each left row to the most recent right row at or
+before its timestamp, per key.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas/kdb do); the reference has no
+joins at all (SURVEY.md §2.3). This is the standard Spark-native
+composition: union both sides tagged, one window pass per key ordered by
+(ts, side), `last(..., ignorenulls=True)` carries the right side's values
+forward onto left rows. ONE shuffle on the key (the window partition) — no
+range-explode, no per-row Python, no broadcast requirement on either side;
+at 100 TB both sides stream through the same hash partitioning, and if the
+tables are bucketed by the key the exchange disappears.
+
+Ties (left.ts == right.ts) match — the right row sorts first (side 0 < 1),
+i.e. "at or before" semantics, identical to DuckDB's `ASOF JOIN ... ON
+l.ts >= r.ts` (which the oracle uses verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """left columns + the as-of matched ``value_cols`` from right.
+
+    ``how='left'``: unmatched left rows keep nulls; ``'inner'`` drops them.
+    """
+    # the right side rides as ONE struct column: `last(ignorenulls)` then
+    # carries all value columns (and the match marker) atomically, so a
+    # legitimately-NULL value column can't be "filled" from an older row
+    r_struct = F.struct(
+        F.col(right_ts).cast("timestamp").alias("__asof_ts"),
+        *[F.col(c) for c in value_cols],
+    )
+    l_tag = left.select(
+        F.col(on).alias("_key"),
+        F.col(left_ts).cast("timestamp").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_left"),
+        F.lit(None).cast(
+            right.select(r_struct.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_key"),
+        F.col(right_ts).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_left"].dataType).alias("_left"),
+        r_struct.alias("_r"),
+    )
+    u = l_tag.unionByName(r_tag)
+    w = W.partitionBy("_key").orderBy("_ts", "_side").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    carried = u.select(
+        "_side",
+        "_left",
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
+    ).filter(F.col("_side") == 1)
+    out = carried.select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r.{c}").alias(c) for c in value_cols],
+    )
+    if how == "inner":
+        out = carried.filter(F.col("_r").isNotNull()).select(
+            *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+            *[F.col(f"_r.{c}").alias(c) for c in value_cols],
+        )
+    return out

@@ -423,6 +423,29 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+# DuckDB's native ASOF JOIN: the golden implementation of the operator
+ORACLES["asof_join"] = """
+WITH ev AS (
+  SELECT user_id AS custkey, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+),
+o AS (
+  SELECT o_custkey AS custkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+         o_totalprice
+  FROM orders
+),
+j AS (
+  SELECT ev.event_type, o.o_orderdate, o.o_totalprice
+  FROM ev ASOF LEFT JOIN o
+    ON ev.custkey = o.custkey AND ev.ts >= o.o_orderdate
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unmatched,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(30,2)) AS matched_total
+FROM j GROUP BY event_type
+"""
+
 ORACLES["datetime_multiformat"] = """
 WITH s AS (
   SELECT CAST(event_id % 4 AS INT) AS fmt,

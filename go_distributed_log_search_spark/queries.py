@@ -356,6 +356,36 @@ def q_set_ops(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (custom operator — Spark has no native one): each event
+    matched to the customer's most recent order at or before the event;
+    oracle = DuckDB's native ASOF JOIN. Aggregated per event_type for a
+    bounded result."""
+    from .operators.asof import as_of_join
+
+    ev = _tbl(spark, sf_dir, "events").withColumnRenamed("user_id", "custkey")
+    orders = (
+        _tbl(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate"),
+            F.col("o_totalprice"),
+        )
+    )
+    joined = as_of_join(
+        ev, orders, on="custkey", left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderdate", "o_totalprice"],
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("n_unmatched"),
+        # decimal sum: double addition is order-dependent across engines
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(30,2)")
+        .alias("matched_total"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Event-time sessionization (gap > 30 min) — the batch analog of a
     session window; stable ordering via (ts, event_id)."""
@@ -502,6 +532,7 @@ SPARK_QUERIES = {
     "window_top_order": q_window_top_order,
     "set_ops": q_set_ops,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,
