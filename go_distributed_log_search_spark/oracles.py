@@ -423,6 +423,21 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+ORACLES["time_rollup"] = """
+WITH ev AS (
+  SELECT event_type,
+         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+         value
+  FROM events
+)
+SELECT event_type, day, hour, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS value_sum,
+       CASE WHEN hour IS NULL THEN 'day' ELSE 'hour' END AS grain
+FROM ev
+GROUP BY GROUPING SETS ((event_type, day, hour), (event_type, day))
+"""
+
 # DuckDB's native ASOF JOIN: the golden implementation of the operator
 ORACLES["asof_join"] = """
 WITH ev AS (

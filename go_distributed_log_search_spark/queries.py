@@ -386,6 +386,29 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup in ONE pass: per-type
+    counts at (day, hour) and (day) granularities via GROUPING SETS —
+    Catalyst expands to a single Expand + hash aggregate (no double scan).
+    grain column disambiguates levels (grouping_id analog)."""
+    ev = _tbl(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd").alias("day"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hour"),
+        F.col("value"),
+    )
+    rolled = ev.groupingSets(
+        [["event_type", "day", "hour"], ["event_type", "day"]],
+        "event_type", "day", "hour",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("decimal(30,4)").alias("value_sum"),
+    )
+    return rolled.withColumn(
+        "grain", F.when(F.col("hour").isNull(), F.lit("day")).otherwise(F.lit("hour"))
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Event-time sessionization (gap > 30 min) — the batch analog of a
     session window; stable ordering via (ts, event_id)."""
@@ -533,6 +556,7 @@ SPARK_QUERIES = {
     "set_ops": q_set_ops,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "time_rollup": q_time_rollup,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,
