@@ -77,3 +77,56 @@ def as_of_join(
             *[F.col(f"_r.{c}").alias(c) for c in value_cols],
         )
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_sec: int,
+    upper_sec: int,
+    value_cols: list[str],
+) -> DataFrame:
+    """Inner range join: pairs where right_ts is within
+    ``[left_ts + lower_sec, left_ts + upper_sec]`` (inclusive), per key.
+
+    Spark plans a raw inequality join as a broadcast nested loop (quadratic
+    per key); this is the bucketed shape instead: time is quantized into
+    buckets of the window width, each left row probes its (at most two)
+    covering buckets, and the join is a plain EQUI-join on (key, bucket)
+    followed by the exact range filter — shuffle-partitioned, scale-safe.
+    Bucket fan-out is exactly 2 rows per left row, independent of data.
+    """
+    width = upper_sec - lower_sec
+    if width <= 0:
+        raise ValueError("upper_sec must be > lower_sec")
+    l_sec = F.col(left_ts).cast("timestamp").cast("long")
+    r_sec = F.col(right_ts).cast("timestamp").cast("long")
+    lo = l_sec + lower_sec
+    hi = l_sec + upper_sec
+    l_tag = left.select(
+        F.struct(*left.columns).alias("_left"),
+        F.col(on).alias("_key"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+        F.explode(
+            F.array_distinct(
+                F.array(F.floor(lo / width).cast("long"), F.floor(hi / width).cast("long"))
+            )
+        ).alias("_bucket"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_key"),
+        r_sec.alias("_rsec"),
+        F.floor(r_sec / width).cast("long").alias("_bucket"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    joined = l_tag.join(r_tag, on=["_key", "_bucket"]).filter(
+        (F.col("_rsec") >= F.col("_lo")) & (F.col("_rsec") <= F.col("_hi"))
+    )
+    return joined.select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+    )

@@ -423,6 +423,22 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+# plain inequality join — DuckDB plans an IEJoin; same semantics as the
+# Spark side's bucketed equi-join + range filter
+ORACLES["range_join"] = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+  FROM events
+)
+SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT b.event_id) AS BIGINT) AS n_other
+FROM ev a JOIN ev b ON a.user_id = b.user_id
+ AND b.sec BETWEEN a.sec - 1800 AND a.sec + 1800
+ AND b.event_id <> a.event_id
+GROUP BY a.event_type
+"""
+
 ORACLES["time_rollup"] = """
 WITH ev AS (
   SELECT event_type,

@@ -386,6 +386,27 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketed range join (equi-join on (key, time-bucket) + exact range
+    filter — never a nested loop): each event paired with the same user's
+    OTHER events within +/- 30 minutes (co-session activity). Oracle =
+    DuckDB's inequality self-join (IEJoin)."""
+    from .operators.asof import range_join
+
+    ev = _tbl(spark, sf_dir, "events")
+    other = ev.select(
+        "user_id", F.col("ts").alias("ts2"), F.col("event_id").alias("other_id")
+    )
+    pairs = range_join(
+        ev, other, on="user_id", left_ts="ts", right_ts="ts2",
+        lower_sec=-1800, upper_sec=1800, value_cols=["other_id"],
+    ).filter(F.col("other_id") != F.col("event_id"))
+    return pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("other_id").alias("n_other"),
+    )
+
+
 def q_time_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity rollup in ONE pass: per-type
     counts at (day, hour) and (day) granularities via GROUPING SETS —
@@ -557,6 +578,7 @@ SPARK_QUERIES = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "time_rollup": q_time_rollup,
+    "range_join": q_range_join,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,

@@ -42,3 +42,24 @@ def test_asof_inner_drops_unmatched(spark):
         value_cols=["price"], how="inner",
     ).collect()
     assert sorted(r.tag for r in out) == ["a", "b"]
+
+
+def test_range_join_boundaries(spark):
+    from go_distributed_log_search_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00", "e1")], ["k", "ts_s", "tag"]
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 11:00:00", "lo_edge"),   # exactly -1h: inclusive
+         (1, "2024-01-01 13:00:00", "hi_edge"),   # exactly +1h: inclusive
+         (1, "2024-01-01 10:59:59", "too_early"),
+         (1, "2024-01-01 13:00:01", "too_late"),
+         (2, "2024-01-01 12:00:00", "wrong_key")],
+        ["k", "rts_s", "name"],
+    ).select("k", F.col("rts_s").cast("timestamp").alias("rts"), "name")
+    got = sorted(r.name for r in range_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        lower_sec=-3600, upper_sec=3600, value_cols=["name"],
+    ).collect())
+    assert got == ["hi_edge", "lo_edge"]
