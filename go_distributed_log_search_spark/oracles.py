@@ -423,6 +423,14 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+ORACLES["hourly_windows"] = """
+SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start,
+       time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+         AS win_end,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY win_start, win_end, event_type
+"""
+
 # plain inequality join — DuckDB plans an IEJoin; same semantics as the
 # Spark side's bucketed equi-join + range filter
 ORACLES["range_join"] = """

@@ -407,6 +407,15 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_hourly_windows(spark, sf_dir):
+    """Tumbling event-time windows (the batch twin of the watermarked
+    stream in streaming/windowed.py) — window() API vs DuckDB time_bucket."""
+    from .streaming.windowed import windowed_counts_batch
+
+    ev = _tbl(spark, sf_dir, "events")
+    return windowed_counts_batch(ev, window="1 hour")
+
+
 def q_time_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity rollup in ONE pass: per-type
     counts at (day, hour) and (day) granularities via GROUPING SETS —
@@ -579,6 +588,7 @@ SPARK_QUERIES = {
     "asof_join": q_asof_join,
     "time_rollup": q_time_rollup,
     "range_join": q_range_join,
+    "hourly_windows": q_hourly_windows,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,
