@@ -31,6 +31,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 32x replication (3.2M turns) makes the scaling job compute-bound enough
 # that per-stage fixed overhead (~1-2s) doesn't cap local[32] speedup
 SCALE_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "32"))
+# interleaved probe rounds (min per level across rounds): more rounds =
+# more chances to catch both levels in the same host phase
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
 
 # headline subset: one per operator family (full coverage runs in tests).
 # per-plan codegen+JIT warm-up in this sandbox is ~5-60s; each query is
@@ -147,6 +150,7 @@ def _visit(cpus: int, mult: int, runs: int) -> tuple[float, float]:
     finally:
         spark.stop()
     cpu_total = 0.0
+    gc_total = 0.0
     for fp in glob.glob(os.path.join(evdir, "*", "events_*")) + glob.glob(
         os.path.join(evdir, "local-*")
     ):
@@ -159,8 +163,9 @@ def _visit(cpus: int, mult: int, runs: int) -> tuple[float, float]:
                 if ev.get("Event") == "SparkListenerTaskEnd":
                     m = ev.get("Task Metrics") or {}
                     cpu_total += m.get("Executor CPU Time", 0) / 1e9
+                    gc_total += m.get("JVM GC Time", 0) / 1e3
     shutil.rmtree(evdir, ignore_errors=True)
-    return best, cpu_total / (runs + 1)
+    return best, cpu_total / (runs + 1), gc_total / (runs + 1)
 
 
 def _scaling_probe(mult: int, levels=(8, 32), rounds: int = 2) -> dict[int, float]:
@@ -187,6 +192,7 @@ def _scaling_probe(mult: int, levels=(8, 32), rounds: int = 2) -> dict[int, floa
 
     best: dict[int, float] = {lvl: float("inf") for lvl in levels}
     cpu: dict[int, float] = {lvl: float("inf") for lvl in levels}
+    gc: dict[int, float] = {lvl: 0.0 for lvl in levels}
     for rnd in range(rounds):
         for lvl in levels:
             # the wider level is cheap per run and noisier — sample it more
@@ -209,9 +215,11 @@ def _scaling_probe(mult: int, levels=(8, 32), rounds: int = 2) -> dict[int, floa
                 continue
             best[lvl] = min(best[lvl], rec["best"])
             cpu[lvl] = min(cpu[lvl], rec["cpu"])
+            gc[lvl] = max(gc[lvl], rec.get("gc", 0.0))
             _log(f"bench: local[{lvl}] round {rnd} visit-min {rec['best']:.1f}s "
-                 f"cpu {rec['cpu']:.0f} core-s (best {best[lvl]:.1f}s)")
-    return best, cpu
+                 f"cpu {rec['cpu']:.0f} core-s gc {rec.get('gc', 0):.1f}s "
+                 f"(best {best[lvl]:.1f}s)")
+    return best, cpu, gc
 
 
 def main() -> None:
@@ -267,7 +275,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         _log("bench: scaling probe (interleaved local[8]/local[32]) ...")
         n_rows = n_turns * SCALE_MULT
-        best, cpu = _scaling_probe(SCALE_MULT)
+        best, cpu, gc = _scaling_probe(SCALE_MULT, rounds=SCALE_ROUNDS)
         t8, t32 = best[8], best[32]
         eff = (t8 / t32) / 4.0
         # work_ratio: per-run executor-CPU core-seconds at 4N vs N. 1.0 =
@@ -286,6 +294,8 @@ def main() -> None:
             "cpu_core_seconds_local8": round(cpu[8], 1),
             "cpu_core_seconds_local32": round(cpu[32], 1),
             "work_ratio_4n_over_n": round(work_ratio, 3) if work_ratio else None,
+            "gc_seconds_local8": round(gc[8], 1),
+            "gc_seconds_local32": round(gc[32], 1),
         }
 
     print(json.dumps(out))
@@ -293,7 +303,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--visit":
-        b, c = _visit(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
-        print(json.dumps({"best": round(b, 3), "cpu": round(c, 1)}))
+        b, c, g = _visit(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+        print(json.dumps({"best": round(b, 3), "cpu": round(c, 1), "gc": round(g, 1)}))
     else:
         main()

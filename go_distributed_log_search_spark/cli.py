@@ -83,8 +83,10 @@ def cmd_search(spark: SparkSession, wh: Warehouse, args) -> int:
         print("no documents indexed", file=sys.stderr)
         return 1
     df = wh.read(args.name)
+    # dotted struct-child paths score with their leaf-name weight
+    # (search.go:225-243); keep only paths whose ROOT column exists
     text_fields = [
-        f.name for f in schema.fields if f.type == "text" and f.indexed and f.name in df.columns
+        p for p in schema.text_field_paths() if p.split(".", 1)[0] in df.columns
     ]
     tiebreak = tuple(c for c in df.columns if c not in ("_dynamic", "batch_id"))
     hits = substring_search(

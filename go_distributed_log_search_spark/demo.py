@@ -64,7 +64,9 @@ def quick_demo(
     """
     schema = create_index(yaml_path)
     docs = index_jsonl(spark, schema, jsonl_path, keep_corrupt=False)
-    text_fields = [f.name for f in schema.fields if f.type == "text" and f.indexed]
+    # dotted struct-child paths included: `resource.service` etc. score
+    # with their leaf-name weight (+6), search.go:225-243
+    text_fields = schema.text_field_paths()
     hits = substring_search(
         docs,
         query,

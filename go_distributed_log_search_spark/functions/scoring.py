@@ -36,7 +36,10 @@ NESTED_MAP_WEIGHT = 3.0
 
 
 def field_weight(name: str) -> float:
-    return FIELD_WEIGHTS.get(name, DEFAULT_STRING_WEIGHT)
+    """Weight by the LEAF field name: a dotted struct-child path like
+    ``resource.service`` weighs as ``service`` (+6) — the reference scores
+    flattened dotted names by their terminal segment (search.go:229-243)."""
+    return FIELD_WEIGHTS.get(name.rsplit(".", 1)[-1], DEFAULT_STRING_WEIGHT)
 
 
 def contains_ci(col: Column, query: str) -> Column:

@@ -17,8 +17,11 @@ ArrayType(String) expression used by the posting-count aggregation
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+from .stemmer import porter_stem
 
 # Token = maximal alnum run of the lowercased text. Equivalent to
 # split-on-[^a-z0-9]+ then dropping empties (the DuckDB oracle's form), but
@@ -49,18 +52,24 @@ def tokenize_raw(col: Column, keep_empty: bool = False) -> Column:
     return F.array(F.trim(col))
 
 
-def _stem(term: Column) -> Column:
-    # sses->ss, ies->i, drop trailing s (not ss); ing/ed stripped when a
-    # vowel remains before the suffix. Approximation, documented as such.
-    t = F.regexp_replace(term, "sses$", "ss")
-    t = F.regexp_replace(t, "ies$", "i")
-    t = F.regexp_replace(t, "([^s])s$", "$1")
-    t = F.regexp_replace(t, "([aeiou].*)(ing|ed)$", "$1")
-    return t
+def _stem_tokens_impl(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda toks: None if toks is None else [porter_stem(t) for t in toks]
+    )
+
+
+def _stem_tokens_udf():
+    """array<string> -> array<string>, full Porter stem per token
+    (functions/stemmer.py), Arrow-batched. Built lazily: pandas_udf
+    registration needs an active session."""
+    return F.pandas_udf(_stem_tokens_impl, "array<string>")
 
 
 def tokenize_en_stem(col: Column, keep_empty: bool = False) -> Column:
-    return F.transform(tokenize_default(col, keep_empty), _stem)
+    """default tokenization + the classic Porter stemmer (replaces the
+    round-2 regex approximation; Bluge's snowball Porter2 remains a small
+    documented delta — see functions/stemmer.py)."""
+    return _stem_tokens_udf()(tokenize_default(col, keep_empty))
 
 
 TOKENIZERS = {

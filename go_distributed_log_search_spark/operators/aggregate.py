@@ -66,24 +66,18 @@ def detect_hot_keys(
     Scale-free: works off key shares within the sample, so no full count of
     the input is needed; seed fixed for determinism.
     """
-    from pyspark.sql import Window as W
-
     def hot_at(fraction: float) -> tuple[list, int]:
         sample = df.select(key_col).sample(fraction=fraction, seed=42)
-        # top-(max_hot) sampled keys with the sample total attached; the
-        # window over () runs on one reducer over #distinct-sampled-keys
-        # rows — tiny by construction (it is a sample). Share filtering
-        # happens driver-side so the sample total is known even when no
-        # key is hot.
-        rows = (
-            sample.groupBy(key_col)
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("_tot", F.sum("c").over(W.partitionBy()))
-            .orderBy(F.col("c").desc(), F.col(key_col))
-            .limit(max_hot)
-            .collect()
-        )
-        total = rows[0]["_tot"] if rows else 0
+        counts = sample.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+        # top-(max_hot) sampled keys; the sample total comes from a scalar
+        # aggregate over the (already tiny) per-key counts — NOT a window
+        # over an empty partitionBy, which would funnel every distinct
+        # sampled key through ONE task (VERDICT r02: at 10^9 conversations
+        # that single-partition WindowExec is a serial bottleneck gating
+        # the hot-path aggregate).
+        rows = counts.orderBy(F.col("c").desc(), F.col(key_col)).limit(max_hot).collect()
+        total_row = counts.agg(F.sum("c").alias("t")).collect()[0]
+        total = total_row["t"] or 0
         hot = [r[0] for r in rows if r["c"] > total * hot_share]
         return hot, total
 
@@ -166,7 +160,11 @@ def term_counts(
         hot_keys = detect_hot_keys(df, skew_col)
     elif hot_keys == "auto":
         hot_keys = None
-    hot = list(hot_keys) if hot_keys else []
+    # nsalt <= 1 means "no salting": clear the hot set so hot rows stay in
+    # the cold branch instead of being filtered out and never re-added
+    # (ADVICE r02: the early cold-only return silently dropped every row
+    # of the hottest keys when a caller passed nsalt=1).
+    hot = list(hot_keys) if hot_keys and nsalt > 1 else []
 
     if skew_col not in df.columns:
         # low-cardinality grouping (no per-conversation key): plain hash
@@ -183,7 +181,7 @@ def term_counts(
     )
     cold = _terms(cold_src.repartition(nparts, skew_col), group_cols, text_col, tokenizer)
     cold_agg = cold.groupBy(*group_cols, "term").agg(F.count(F.lit(1)).alias("cnt"))
-    if not hot or nsalt <= 1:
+    if not hot:
         return cold_agg
 
     hot_src = df.filter(F.col(skew_col).isin(*hot))
@@ -195,7 +193,14 @@ def term_counts(
         F.count(F.lit(1)).alias("_partial")
     )
     hot_agg = stage1.groupBy(*group_cols, "term").agg(F.sum("_partial").alias("cnt"))
-    return cold_agg.unionByName(hot_agg)
+    merged = cold_agg.unionByName(hot_agg)
+    if skew_col not in group_cols:
+        # the branch split keyed on skew_col, so when it is NOT a group
+        # key the cold and hot branches can each emit a row for the same
+        # (group..., term) — re-aggregate the (result-sized) union
+        # (ADVICE r02: unionByName alone returned duplicate group keys).
+        merged = merged.groupBy(*group_cols, "term").agg(F.sum("cnt").alias("cnt"))
+    return merged
 
 
 def doc_counts(df: DataFrame, batch_col: str, *extra_cols: str) -> DataFrame:

@@ -35,6 +35,22 @@ def as_of_join(
 
     ``how='left'``: unmatched left rows keep nulls; ``'inner'`` drops them.
     """
+    # Deterministic tie rule: several right rows can share (key, ts) —
+    # e.g. one customer, two orders on the same (day-granular) date. The
+    # window order (_ts, _side) alone would let partition order pick the
+    # carried row (ADVICE r02: matched values flapped run-to-run). Collapse
+    # the right side to ONE row per (key, ts) first, keeping the
+    # lexicographically-greatest value tuple — a rule an oracle can mirror
+    # exactly (max struct == ORDER BY value_cols DESC LIMIT 1 per group).
+    extra_vals = [c for c in value_cols if c not in (on, right_ts)]
+    if extra_vals:
+        right = (
+            right.groupBy(on, right_ts)
+            .agg(F.max(F.struct(*[F.col(c) for c in extra_vals])).alias("_vmax"))
+            .select(on, right_ts, *[F.col(f"_vmax.{c}").alias(c) for c in extra_vals])
+        )
+    else:
+        right = right.select(on, right_ts).distinct()
     # the right side rides as ONE struct column: `last(ignorenulls)` then
     # carries all value columns (and the match marker) atomically, so a
     # legitimately-NULL value column can't be "filled" from an older row

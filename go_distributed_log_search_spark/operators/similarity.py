@@ -227,28 +227,71 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (a, b, cos_sim) with a < b and
     cos_sim >= threshold — the exact verify kernel of embedding dedup.
 
-    Shape: the comparison side is broadcast as a numpy matrix and each
-    corpus partition scores against it in one BLAS matmul — use it directly
-    on small/sampled sides (dedup verify sets, cluster re-checks). At full
-    corpus scale the candidate set comes from ``lsh_bucketed_topk``'s
-    banding instead, with this kernel applied only inside buckets.
+    Distributed block-pair shape (no driver collect — ADVICE r02 flagged
+    the previous version for inlining the whole corpus into the plan):
+    ids hash into ``n_blocks`` blocks, every row is replicated to each of
+    its n_blocks (block, block) group keys, and ``applyInPandas`` runs one
+    BLAS matmul per block pair. Exact all-pairs is inherently O(n^2)
+    compute, but driver memory and plan size stay O(1), the n^2 work
+    spreads over n_blocks*(n_blocks+1)/2 independent tasks, and each task
+    holds only 2/n_blocks of the corpus. At full corpus scale the
+    candidate set should come from ``lsh_bucketed_topk``'s banding with
+    this kernel applied within buckets; size n_blocks ~ sqrt(#executors)
+    here if exactness is required (replication factor is n_blocks).
     """
-    spark = corpus.sparkSession
-    q_ids, q_mat, q_norms = _query_matrix(corpus, id_col, vec_col)
-    scorer = _cosine_scores_udf(spark, q_ids, q_mat, q_norms)
-    qid_arr = F.array(*[F.lit(q) for q in q_ids])
-    scored = corpus.select(
-        F.col(id_col).alias("a"),
-        scorer(F.col(vec_col).cast("array<double>")).alias("_s"),
+    np = _np()
+    id_type = dict(corpus.dtypes)[id_col]
+    src = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks))
+        .cast("int")
+        .alias("_blk"),
     )
-    pairs = scored.select(
-        "a", F.posexplode("_s").alias("_qpos", "cos_sim")
-    ).select("a", qid_arr[F.col("_qpos")].alias("b"), "cos_sim")
-    return pairs.filter((F.col("a") < F.col("b")) & (F.col("cos_sim") >= threshold))
+    rep = src.select(
+        "_id",
+        "_v",
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("_other"),
+    ).select(
+        "_id",
+        "_v",
+        "_blk",
+        F.least("_blk", "_other").alias("_ka"),
+        F.greatest("_blk", "_other").alias("_kb"),
+    )
+
+    def _score(key, pdf):
+        ka, kb = key
+        a_pdf = pdf[pdf["_blk"] == ka].sort_values("_id")
+        b_pdf = a_pdf if ka == kb else pdf[pdf["_blk"] == kb].sort_values("_id")
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"a": [], "b": [], "cos_sim": []})
+        ma = np.asarray(a_pdf["_v"].tolist(), dtype=np.float64)
+        mb = ma if ka == kb else np.asarray(b_pdf["_v"].tolist(), dtype=np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = na if ka == kb else np.linalg.norm(mb, axis=1)
+        na = np.where(na == 0.0, 1.0, na)
+        nb = np.where(nb == 0.0, 1.0, nb)
+        sims = np.round((ma @ mb.T) / na[:, None] / nb[None, :], 6)
+        mask = sims >= threshold
+        if ka == kb:
+            mask &= np.triu(np.ones_like(mask, dtype=bool), k=1)  # i < j
+        ii, jj = np.nonzero(mask)
+        ids_a = a_pdf["_id"].to_numpy()[ii]
+        ids_b = b_pdf["_id"].to_numpy()[jj]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        return pd.DataFrame({"a": lo, "b": hi, "cos_sim": sims[ii, jj]})
+
+    return rep.groupBy("_ka", "_kb").applyInPandas(
+        _score, schema=f"a {id_type}, b {id_type}, cos_sim double"
+    )
 
 
 # retained Catalyst-expression kernels (used by tests as a second engine

@@ -139,24 +139,90 @@ ORDER BY score DESC, conv_id, turn_idx LIMIT 100
 
 # demo fixture path is repo-local and committed; read_json(ignore_errors)
 # yields an all-NULL row for the corrupt line, which scores 0 and drops out
-ORACLES["demo_e2e"] = """
-WITH d AS (
+# A3 score formula over the demo fixture, struct children included with
+# their leaf-name weights (class/service +6) and tenant_id parsed from its
+# raw string form (P2 parity) — shared by the demo_* oracles.
+_DEMO_READ = """
   SELECT * FROM read_json('/root/repo/tests/fixtures/hdfs_logs.jsonl',
     format='newline_delimited', ignore_errors=true,
-    columns={severity_text:'VARCHAR', body:'VARCHAR', tenant_id:'BIGINT',
-             cluster:'VARCHAR', region_note:'VARCHAR'})
-),
+    columns={severity_text:'VARCHAR', body:'VARCHAR', tenant_id:'VARCHAR',
+             cluster:'VARCHAR', region_note:'VARCHAR',
+             attributes:'STRUCT("class" VARCHAR)',
+             resource:'STRUCT(service VARCHAR)',
+             client_ip:'VARCHAR', "timestamp":'VARCHAR'})
+"""
+
+
+def _demo_score(q: str) -> str:
+    return f"""CAST(
+      (CASE WHEN contains(lower(severity_text), '{q}') THEN 8 ELSE 0 END)
+    + (CASE WHEN contains(lower(body), '{q}') THEN 10 ELSE 0 END)
+    + (CASE WHEN contains(lower(attributes."class"), '{q}') THEN 6 ELSE 0 END)
+    + (CASE WHEN contains(lower(resource.service), '{q}') THEN 6 ELSE 0 END)
+    + 3 * ((CASE WHEN contains(lower(cluster), '{q}') THEN 1 ELSE 0 END)
+         + (CASE WHEN contains(lower(region_note), '{q}') THEN 1 ELSE 0 END))
+    AS DOUBLE)"""
+
+
+ORACLES["demo_e2e"] = f"""
+WITH d AS ({_DEMO_READ}),
 scored AS (
-  SELECT tenant_id, severity_text, CAST(
-      (CASE WHEN contains(lower(severity_text), 'info') THEN 8 ELSE 0 END)
-    + (CASE WHEN contains(lower(body), 'info') THEN 10 ELSE 0 END)
-    + 3 * ((CASE WHEN contains(lower(cluster), 'info') THEN 1 ELSE 0 END)
-         + (CASE WHEN contains(lower(region_note), 'info') THEN 1 ELSE 0 END))
-    AS DOUBLE) AS score
+  SELECT TRY_CAST(tenant_id AS BIGINT) AS tenant_id, severity_text,
+         {_demo_score('info')} AS score
   FROM d
 )
 SELECT tenant_id, severity_text, score FROM scored WHERE score > 0
 ORDER BY score DESC, tenant_id LIMIT 3
+"""
+
+ORACLES["demo_search_struct"] = f"""
+WITH d AS ({_DEMO_READ}),
+scored AS (
+  SELECT TRY_CAST(tenant_id AS BIGINT) AS tenant_id, severity_text,
+         {_demo_score('datanode')} AS score
+  FROM d
+)
+SELECT tenant_id, severity_text, score FROM scored WHERE score > 0
+ORDER BY score DESC, tenant_id LIMIT 10
+"""
+
+# P2/P4/P5 ingest parity over the fixture: stringified numbers, epoch
+# (auto-scaled s/ms) + date + rfc3339 timestamps, canonicalized IPs.
+# The ip CASE mirrors python ipaddress canonicalization on this fixture's
+# value domain (valid dotted-quad kept as-is, compressed IPv6 lowercased,
+# invalid -> NULL) — DuckDB has no inet canonicalizer built in.
+ORACLES["demo_ingest_types"] = f"""
+WITH d AS ({_DEMO_READ}
+  -- read_json's ignore_errors surfaces the corrupt/blank line as one
+  -- all-NULL row; the engine skips blanks and quarantines corrupt lines
+  WHERE severity_text IS NOT NULL OR body IS NOT NULL OR tenant_id IS NOT NULL
+)
+SELECT
+  TRY_CAST(tenant_id AS BIGINT) AS tenant_id,
+  COALESCE(
+    TRY_CAST("timestamp" AS TIMESTAMP),
+    CASE WHEN regexp_matches("timestamp", '^-?\\d+$') THEN
+      CASE
+        WHEN abs(CAST("timestamp" AS BIGINT)) BETWEEN 72057595 AND 8589934591
+          THEN CAST(to_timestamp(CAST("timestamp" AS BIGINT)) AS TIMESTAMP)
+        WHEN abs(CAST("timestamp" AS BIGINT)) BETWEEN 72057595000 AND 8589934591000
+          THEN epoch_ms(CAST("timestamp" AS BIGINT))
+        WHEN abs(CAST("timestamp" AS BIGINT)) BETWEEN 72057595000000 AND 8589934591000000
+          THEN make_timestamp(CAST("timestamp" AS BIGINT))
+        WHEN abs(CAST("timestamp" AS BIGINT)) > 8589934591000000
+          THEN make_timestamp(CAST("timestamp" AS BIGINT) // 1000)
+      END
+    END) AS ts,
+  CASE
+    WHEN regexp_matches(client_ip,
+      '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){{3}}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+      THEN client_ip
+    WHEN contains(client_ip, ':') AND regexp_matches(client_ip, '^[0-9A-Fa-f:]+$')
+      THEN lower(client_ip)
+    ELSE NULL
+  END AS client_ip,
+  severity_text
+FROM d
 """
 
 ORACLES["search_map_scoring"] = """WITH_PRELUDE,
@@ -330,6 +396,53 @@ SELECT g1.doc_id AS a, g2.doc_id AS b,
 FROM grams g1 JOIN grams g2 ON g2.doc_id = g1.doc_id + 1
 """
 
+# SimHash (md5_60 variant): every stage of operators/dedup.py:simhash_dedup
+# mirrored in SQL — 60-bit token hash from md5's hex prefix, per-bit
+# majority vote, 4x15-bit pigeonhole blocking, xor+bit_count hamming.
+_SIMHASH_BITS = 60
+_simhash_sums = ",\n         ".join(
+    f"SUM((h >> {j}) & 1) AS s{j}" for j in range(_SIMHASH_BITS)
+)
+_simhash_val = "\n       + ".join(
+    f"(CASE WHEN 2 * s{j} > n THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+    for j in range(_SIMHASH_BITS)
+)
+ORACLES["simhash_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {_simhash_sums}
+  FROM hashed GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, {_simhash_val} AS simhash FROM votes
+),
+blocks AS (
+  SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS block FROM sim
+),
+bv AS (
+  SELECT doc_id, simhash, block,
+         (simhash >> (block * 15)) & 32767 AS block_val
+  FROM blocks
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                  l.simhash AS sa, r.simhash AS sb
+  FROM bv l JOIN bv r ON l.block = r.block AND l.block_val = r.block_val
+                     AND l.doc_id < r.doc_id
+)
+SELECT CAST(bit_count(xor(sa, sb)) AS INT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM cand WHERE bit_count(xor(sa, sb)) <= 16 GROUP BY hamming
+"""
+
 ORACLES["knn_bruteforce"] = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -362,11 +475,11 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 
 ORACLES["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(30,4)) AS sum_base_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-       AS DECIMAL(30,4)) AS sum_disc_price,
+       AS DOUBLE) AS sum_disc_price,
   CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -383,7 +496,7 @@ ORDER BY total DESC, o_orderkey LIMIT 20
 ORACLES["window_top_order"] = """
 WITH r AS (
   SELECT o_custkey, o_orderkey,
-         CAST(o_totalprice AS DECIMAL(18,2)) AS best_price,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS best_price,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
   FROM orders
@@ -456,7 +569,7 @@ WITH ev AS (
   FROM events
 )
 SELECT event_type, day, hour, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(30,4)) AS value_sum,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
        CASE WHEN hour IS NULL THEN 'day' ELSE 'hour' END AS grain
 FROM ev
 GROUP BY GROUPING SETS ((event_type, day, hour), (event_type, day))
@@ -469,9 +582,11 @@ WITH ev AS (
   FROM events
 ),
 o AS (
+  -- mirror of the operator's deterministic tie rule: one row per
+  -- (key, ts), lexicographically-greatest value tuple wins
   SELECT o_custkey AS custkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
-         o_totalprice
-  FROM orders
+         max(o_totalprice) AS o_totalprice
+  FROM orders GROUP BY 1, 2
 ),
 j AS (
   SELECT ev.event_type, o.o_orderdate, o.o_totalprice

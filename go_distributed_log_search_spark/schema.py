@@ -94,6 +94,25 @@ class IndexSchema:
             )
         return T.StructType(cols)
 
+    def text_field_paths(self) -> list[str]:
+        """Dotted column paths of every indexed text field, INCLUDING
+        static_object children (e.g. ``resource.service``). The reference
+        scores every string field generically over flattened dotted names
+        (search.go:225-243) — struct children participate in search with
+        their LEAF name deciding the weight (``class``/``service`` +6)."""
+        out: list[str] = []
+
+        def walk(prefix: str, specs: list[FieldSpec]) -> None:
+            for f in specs:
+                path = f"{prefix}{f.name}"
+                if f.type == "text" and f.indexed and not f.array:
+                    out.append(path)
+                elif f.type == "static_object":
+                    walk(f"{path}.", f.children)
+
+        walk("", self.fields)
+        return out
+
     def tokenizer_for(self, name: str) -> str:
         for f in self.fields:
             if f.name == name and f.type == "text":

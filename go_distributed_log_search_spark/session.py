@@ -81,6 +81,14 @@ def get_spark(
         # proportionate to the sandbox working set; production executors
         # size their own heaps.
         + f" -Xms{driver_mem} -XX:+AlwaysPreTouch"
+        # Faithful N-core-node emulation for the scaling probe: local[8] on
+        # a 32-core host still gets ~23 ParallelGC threads, 32-wide JIT /
+        # ForkJoinPool / netty sizing — free parallelism a real 8-core
+        # node does not have. ActiveProcessorCount makes every JVM-internal
+        # pool size itself to the level under test (this is NOT cpu
+        # affinity pinning, which was measured to distort the ratio the
+        # other way — threads still migrate freely).
+        + f" -XX:ActiveProcessorCount={cpus}"
     )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -108,14 +108,17 @@ def sessionize_stream(
 
 
 def final_sessions(spark: SparkSession, query_name: str = "sessions") -> DataFrame:
-    """Last update per user from the memory sink = final session counts."""
-    from pyspark.sql import Window as W
+    """Final session counts per user from the memory sink's update stream.
+
+    n_sessions/n_events are CUMULATIVE and monotonic per user, so the
+    latest update is simply the max — no ordering assumption on the sink
+    table needed (ADVICE r02: monotonically_increasing_id over a memory
+    sink only reflects trigger order by accident, not by contract).
+    """
     from pyspark.sql import functions as F
 
-    t = spark.table(query_name).withColumn("_ord", F.monotonically_increasing_id())
-    w = W.partitionBy("user_id").orderBy(F.col("_ord").desc())
     return (
-        t.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", "n_sessions", "n_events")
+        spark.table(query_name)
+        .groupBy("user_id")
+        .agg(F.max("n_sessions").alias("n_sessions"), F.max("n_events").alias("n_events"))
     )
