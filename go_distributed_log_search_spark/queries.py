@@ -275,6 +275,18 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER collapse: connected components (iterative
+    min-label propagation, operators/dedup.py:connected_components) over
+    the simhash md5_60 pair graph; oracle = DuckDB recursive-CTE
+    transitive closure. The step that turns pairwise near-dup hits into
+    keep-one-per-cluster training-set decisions."""
+    pairs = dedup.simhash_dedup(
+        _docs(spark, sf_dir), max_hamming=16, hash_impl="md5_60"
+    )
+    return dedup.dedup_clusters(pairs)
+
+
 # ----------------------------------------------------------- similarity
 
 def q_knn_bruteforce(spark, sf_dir):
@@ -620,6 +632,7 @@ SPARK_QUERIES = {
     "jaccard_adjacent": q_jaccard_adjacent,
     "minhash_lsh_dedup": q_minhash_lsh,
     "simhash_pairs": q_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann_topk": q_lsh_ann,

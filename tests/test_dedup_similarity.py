@@ -85,3 +85,27 @@ def test_brute_force_topk_shape(spark):
     sims = [r.cos_sim for r in top]
     assert sims == sorted(sims, reverse=True)
     assert all(r.neighbor_id != 0 for r in top)
+
+
+def test_connected_components_chain_star_pair(spark):
+    # chain 1-2-3-4-5 (diameter > 1 forces >1 propagation round),
+    # star 10-{11,12,13}, isolated pair (20, 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (10, 13),
+         (20, 21)],
+        ["a", "b"],
+    )
+    labels = {r.id: r.label for r in dedup.connected_components(pairs).collect()}
+    assert {k for k, v in labels.items() if v == 1} == {1, 2, 3, 4, 5}
+    assert {k for k, v in labels.items() if v == 10} == {10, 11, 12, 13}
+    assert {k for k, v in labels.items() if v == 20} == {20, 21}
+
+
+def test_dedup_clusters_summary(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["a", "b"]
+    )
+    rows = {r.cluster_id: (r.n_members, r.max_member)
+            for r in dedup.dedup_clusters(pairs).collect()}
+    assert rows == {1: (3, 3), 7: (2, 8)}
