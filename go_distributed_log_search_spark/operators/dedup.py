@@ -80,8 +80,37 @@ def jaccard_adjacent(
     )
 
 
+def _shingle_hash(p: int, hash_impl: str):
+    """Permutation p's 'hash' of the exploded ``shingle`` column.
+
+    - ``xxhash64``: xxhash64(shingle, seed=p) — one JVM hash, the scale
+      path.
+    - ``md5_60``: top 60 bits of md5("p:shingle")'s hex form, parsed
+      base-16 — slower (one md5 per shingle per permutation) but
+      expressible IDENTICALLY in DuckDB SQL
+      (``('0x' || substr(md5(p || ':' || shingle), 1, 15))::BIGINT``),
+      which makes the whole MinHash-LSH operator oracle-checkable.
+    """
+    if hash_impl == "xxhash64":
+        return F.xxhash64("shingle", F.lit(p))
+    if hash_impl == "md5_60":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(p), F.col("shingle")).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    raise ValueError(f"unknown hash_impl {hash_impl}")
+
+
 def _minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int, shingle_n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    shingle_n: int,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """(id, mh0..mh{n-1}) — one row per doc, one column per permutation.
 
@@ -99,7 +128,7 @@ def _minhash_signatures(
         F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("shingle"),
     )
     mins = [
-        F.min(F.xxhash64("shingle", F.lit(p))).alias(f"mh{p}") for p in range(n_hashes)
+        F.min(_shingle_hash(p, hash_impl)).alias(f"mh{p}") for p in range(n_hashes)
     ]
     return shingled.groupBy("_id").agg(*mins)
 
@@ -112,6 +141,7 @@ def minhash_lsh_dedup(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
@@ -148,18 +178,21 @@ def minhash_lsh_dedup(
     # texts — bounded well below input size.
     reps = reps.persist()
     df = reps
-    sig = _minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    sig = _minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, hash_impl)
     # band b's bucket = hash of its rows_per_band minhash columns; bucket
     # equality <=> band-signature equality (modulo 64-bit hash collisions,
     # which the exact-Jaccard verify absorbs). The band explode emits
-    # (id, band, bucket) only — signatures never leave the row.
+    # (id, band, bucket) only — signatures never leave the row. The md5_60
+    # variant buckets on md5("mh_a,mh_b,...") so DuckDB can mirror it with
+    # md5(string_agg(mh, ',' ORDER BY p)).
+    def _bucket(b: int):
+        cols = [F.col(f"mh{p}") for p in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if hash_impl == "md5_60":
+            return F.md5(F.concat_ws(",", *cols).cast("binary"))
+        return F.xxhash64(*cols).cast("string")
+
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"mh{p}") for p in range(b * rows_per_band, (b + 1) * rows_per_band)]
-            ).alias("bucket"),
-        )
+        F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
         for b in range(bands)
     ]
     banded = sig.select(

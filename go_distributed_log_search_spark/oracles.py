@@ -396,6 +396,55 @@ SELECT g1.doc_id AS a, g2.doc_id AS b,
 FROM grams g1 JOIN grams g2 ON g2.doc_id = g1.doc_id + 1
 """
 
+# MinHash + banded LSH (md5_60 variant): every stage of
+# operators/dedup.py:minhash_lsh_dedup mirrored in SQL — exact-dup
+# collapse to min-id representatives, 60-bit per-permutation shingle hash
+# from md5's hex prefix, 8 bands x 4 rows bucketed on
+# md5(comma-joined minhashes), candidate pairs from the bucket
+# equi-join, exact-Jaccard verify at threshold 0.8.
+ORACLES["minhash_lsh_dedup"] = f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY {_FP}
+),
+toks AS (
+  SELECT d.doc_id,
+         list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents d JOIN reps USING (doc_id)
+),
+{_GRAMS.lstrip()},
+sh AS (
+  SELECT doc_id, unnest(g) AS shingle FROM grams
+),
+mh AS (
+  SELECT doc_id, seeds.p,
+         MIN(('0x' || substr(md5(seeds.p::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS p) seeds
+  GROUP BY doc_id, seeds.p
+),
+buckets AS (
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(mh::VARCHAR, ',' ORDER BY p)) AS bucket
+  FROM mh GROUP BY doc_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM buckets l
+  JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+                AND l.doc_id < r.doc_id
+)
+SELECT cand.a, cand.b,
+       round(len(list_intersect(ga.g, gb.g))
+             / greatest(len(list_distinct(ga.g || gb.g)), 1), 4) AS jaccard
+FROM cand
+JOIN grams ga ON ga.doc_id = cand.a
+JOIN grams gb ON gb.doc_id = cand.b
+WHERE round(len(list_intersect(ga.g, gb.g))
+            / greatest(len(list_distinct(ga.g || gb.g)), 1), 4) >= 0.8
+"""
+
 # SimHash (md5_60 variant): every stage of operators/dedup.py:simhash_dedup
 # mirrored in SQL — 60-bit token hash from md5's hex prefix, per-bit
 # majority vote, 4x15-bit pigeonhole blocking, xor+bit_count hamming.
