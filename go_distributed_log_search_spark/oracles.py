@@ -611,6 +611,14 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+ORACLES["len_percentiles"] = """WITH_PRELUDE
+SELECT role,
+       round(quantile_cont(length(text), 0.5), 4) AS p50_len,
+       round(quantile_cont(length(text), 0.95), 4) AS p95_len,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM transcripts GROUP BY role
+"""
+
 ORACLES["hourly_windows"] = """
 SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start,
        time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR

@@ -457,6 +457,23 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_len_percentiles(spark, sf_dir):
+    """Per-role exact text-length percentiles (p50/p95, linear
+    interpolation — Spark `percentile` == DuckDB `quantile_cont`).
+
+    Exact percentile shuffles every value to its group's reducer; at
+    10^12 turns swap in `approx_percentile` (t-digest sketch, map-side
+    combinable, bounded state) — same call shape, documented trade. Kept
+    exact here because the oracle must match bit-for-bit."""
+    t = _t(spark, sf_dir)
+    ln = F.length("text")
+    return t.groupBy("role").agg(
+        F.round(F.percentile(ln, F.lit(0.5)), 4).alias("p50_len"),
+        F.round(F.percentile(ln, F.lit(0.95)), 4).alias("p95_len"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
 def q_hourly_windows(spark, sf_dir):
     """Tumbling event-time windows (the batch twin of the watermarked
     stream in streaming/windowed.py) — window() API vs DuckDB time_bucket."""
@@ -644,6 +661,7 @@ SPARK_QUERIES = {
     "time_rollup": q_time_rollup,
     "range_join": q_range_join,
     "hourly_windows": q_hourly_windows,
+    "len_percentiles": q_len_percentiles,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,

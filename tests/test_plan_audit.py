@@ -1,0 +1,77 @@
+"""Plan-hygiene regression tests.
+
+The north rule bans per-row Python on the hot path and BASELINE.md's plan
+audit pins the physical shapes that make the 100 TB plans work (broadcast
+dim joins, per-partition top-k heaps, parquet filter pushdown). These
+tests freeze those properties so a refactor can't silently regress them:
+a query that picks up a BatchEvalPython node or loses its broadcast join
+fails here long before it shows up as a 10x wall-time regression in
+BENCH_r{N}.json.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from .conftest import SF0001
+
+# Queries whose construction runs Spark jobs eagerly (iterative
+# connected-components label propagation) — plan text of the FINAL stage
+# only would be audited, at the cost of executing the whole loop. The
+# underlying operator's per-iteration plan is already pinned by its unit
+# tests, so skip them here.
+EAGER_QUERIES = {"dedup_clusters"}
+
+QUERY_NAMES = sorted(set(entry_mod.queries()) - EAGER_QUERIES)
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_no_rowwise_python_anywhere(spark, name):
+    """Scalar (row-at-a-time) Python UDFs are banned on every registered
+    query; Python must enter plans only as Arrow-batched evaluation."""
+    df = entry_mod.queries()[name](spark, SF0001)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in the plan\n{plan}"
+    )
+
+
+def test_enrich_joins_are_broadcast(spark):
+    """Dimension enrichment must be a BroadcastHashJoin (no shuffle of the
+    fact side) — BASELINE.md plan audit row 'pipeline_agg_terms'."""
+    df = entry_mod.queries()["pipeline_enrich"](spark, SF0001)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_uses_partial_heaps(spark):
+    """Top-k must compile to TakeOrderedAndProject (per-partition heaps +
+    driver merge), never a global Sort + Limit."""
+    df = entry_mod.queries()["search_substring_topk"](spark, SF0001)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q1_filter_pushed_to_scan(spark):
+    """The date predicate must reach the parquet scan (PushedFilters), and
+    the scan must be pruned to the referenced columns only."""
+    df = entry_mod.queries()["tpch_q1"](spark, SF0001)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan, plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema, f"scan not column-pruned\n{plan}"
+
+# (Blob-pruning for the multimodal scan is pinned in test_multimodal.py,
+# which writes real parquet so the scan's ReadSchema is observable.)
