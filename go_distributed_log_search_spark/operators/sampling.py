@@ -1,0 +1,95 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Every large-scale corpus build ends with (a) per-source quota sampling
+(balance the mixture) and (b) a deterministic train/val/test split that
+never moves a document between splits across reruns. Both are expressed
+on a portable hash ordering — md5 of the stringified id — so the exact
+same rows are selected by Spark and by the DuckDB oracle, on any cluster
+size, with no RNG state anywhere.
+
+Scale shapes:
+- stratified_sample: row_number window partitioned by the stratum. The
+  stratum cardinality is low (sources, languages), so the window shuffle
+  is skewed by construction — at 10^12 rows pre-filter candidates with a
+  generous hash-prefix bound first (``prefilter_factor``): only
+  ~factor * quota rows per stratum survive into the window, the rest are
+  cut at the scan with a pushed predicate on a deterministic expression.
+  The final quota is still exact.
+- split_assign: pure map-side projection (hash mod 100 against cumulative
+  percentage bounds) — no shuffle, no state, resumable by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_hash(id_col: str):
+    """Portable deterministic order key: md5 of the stringified id."""
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    quota: int,
+    prefilter_factor: int | None = None,
+) -> DataFrame:
+    """Exactly ``quota`` rows per stratum (fewer if the stratum is
+    smaller), chosen by md5(id) order — deterministic across engines and
+    cluster sizes.
+
+    ``prefilter_factor``: when set, rows are first cut to the hash prefix
+    band expected to contain ~factor*quota rows per stratum, so the
+    skewed per-stratum window sees a bounded candidate set instead of the
+    full table. Exactness requires the band to hold >= quota rows per
+    stratum; factor trades scan selectivity against that guarantee
+    (callers size it from stratum counts, e.g. factor 20 at uniform
+    hashes makes underflow probability negligible).
+    """
+    src = df.select(stratum_col, id_col, _order_hash(id_col).alias("_h"))
+    if prefilter_factor:
+        # md5 hex is uniform in [0,16); keep the smallest prefix band
+        # expected to contain factor*quota of the stratum's rows.
+        counts = {
+            r[stratum_col]: r["n"]
+            for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        n_min = max(min(counts.values()), 1)
+        frac = min(1.0, (prefilter_factor * quota) / n_min)
+        # numeric 6-hex-digit prefix (not a lexicographic compare against
+        # the shorter bound string, which would cut far below the band)
+        bound = int(frac * 16**6)
+        prefix = F.conv(F.substring("_h", 1, 6), 16, 10).cast("long")
+        src = src.filter(prefix < F.lit(bound))
+    w = Window.partitionBy(stratum_col).orderBy("_h")
+    return (
+        src.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .select(stratum_col, id_col)
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic split assignment: md5(id)'s first 7 hex digits mod
+    100 bucketed against cumulative percentage bounds. A document's split
+    depends only on its id — stable under reruns, resharding, and
+    incremental appends. ``splits`` maps name -> percent (must sum 100).
+    """
+    splits = splits or {"train": 90, "val": 5, "test": 5}
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percents must sum to 100: {splits}")
+    bucket = F.conv(F.substring(_order_hash(id_col), 1, 7), 16, 10).cast("long") % 100
+    expr = None
+    acc = 0
+    for name, pct in splits.items():
+        acc += pct
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)

@@ -611,6 +611,27 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+ORACLES["stratified_sample"] = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+ORACLES["train_split"] = """
+SELECT source,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS b
+  FROM documents
+)
+GROUP BY 1, 2
+"""
+
 ORACLES["len_percentiles"] = """WITH_PRELUDE
 SELECT role,
        round(quantile_cont(length(text), 0.5), 4) AS p50_len,

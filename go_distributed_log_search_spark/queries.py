@@ -457,6 +457,28 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-source quota sampling (5 docs/source) on the portable md5(id)
+    order — the corpus-mixture balancing step of a training-data build,
+    deterministic across engines and cluster sizes."""
+    from .operators import sampling
+
+    return sampling.stratified_sample(_docs(spark, sf_dir), "source", "doc_id", quota=5)
+
+
+def q_train_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment (hash-mod buckets,
+    no RNG state): per-(source, split) counts. Pure map-side projection —
+    stable under reruns, resharding, and incremental appends."""
+    from .operators import sampling
+
+    return (
+        sampling.split_assign(_docs(spark, sf_dir), "doc_id")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_len_percentiles(spark, sf_dir):
     """Per-role exact text-length percentiles (p50/p95, linear
     interpolation — Spark `percentile` == DuckDB `quantile_cont`).
@@ -662,6 +684,8 @@ SPARK_QUERIES = {
     "range_join": q_range_join,
     "hourly_windows": q_hourly_windows,
     "len_percentiles": q_len_percentiles,
+    "stratified_sample": q_stratified_sample,
+    "train_split": q_train_split,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,
