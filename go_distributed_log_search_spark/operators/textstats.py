@@ -132,3 +132,63 @@ def token_stats(df: DataFrame, group_col: str, text_col: str = "text") -> DataFr
             on=group_col,
         )
     )
+
+
+# ---------------------------------------------------------------- cleaning
+
+# RE2-safe PII patterns (no lookaround — DuckDB's RE2 lacks it; Java and
+# RE2 agree on leftmost-first matching for these, so occurrence counts and
+# replacements are engine-identical).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub_expr(text: Column) -> Column:
+    """Redact emails then IPv4s. Order matters: the email pattern can
+    consume a dotted-quad inside a local part; scrubbing emails first
+    makes the composition deterministic."""
+    no_email = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, IPV4_PATTERN, "<IP>")
+
+
+def pii_stats(df: DataFrame, group_col: str, text_col: str = "text") -> DataFrame:
+    """Per-group PII audit: occurrence totals and affected-doc counts.
+    Pure map-side expressions + one partial-aggregated groupBy — the scan
+    is the cost at 100 TB, exactly as a corpus-audit pass should be."""
+    text = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(text, F.lit(IPV4_PATTERN), F.lit(0)))
+    per_doc = df.select(
+        group_col, n_email.alias("_ne"), n_ip.alias("_ni"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.sum("_ne").alias("n_emails"),
+        F.sum("_ni").alias("n_ips"),
+        F.sum(F.when((F.col("_ne") > 0) | (F.col("_ni") > 0), 1).otherwise(0)).alias(
+            "n_docs_with_pii"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def repetition_stats(df: DataFrame, group_col: str, text_col: str = "text",
+                     n: int = 3, flag_ratio: float = 0.2) -> DataFrame:
+    """Per-group duplicate-n-gram audit — the standard boilerplate /
+    degenerate-text signal in corpus building (docs whose 3-grams repeat
+    heavily are templates, logs, or decoding loops).
+
+    dup_ratio(doc) = 1 - distinct_ngrams / total_ngrams (0 when the doc
+    has < n tokens). All Catalyst array exprs, no shuffle before the
+    final small aggregate."""
+    from .dedup import word_ngrams
+
+    toks = tokenize(F.col(text_col), "default")
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    distinct = F.size(word_ngrams(F.col(text_col), n))  # array_distinct inside
+    ratio = F.when(total > 0, 1.0 - distinct / total.cast("double")).otherwise(0.0)
+    per_doc = df.select(group_col, ratio.alias("_r"))
+    return per_doc.groupBy(group_col).agg(
+        F.round(F.avg("_r"), 4).alias("avg_dup_ratio"),
+        F.sum(F.when(F.col("_r") > flag_ratio, 1).otherwise(0)).alias("n_flagged"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

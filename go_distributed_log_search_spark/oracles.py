@@ -611,6 +611,43 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+ORACLES["pii_stats"] = r"""
+SELECT source,
+  CAST(SUM(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+  CAST(SUM(len(regexp_extract_all(text,
+    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))) AS BIGINT) AS n_ips,
+  CAST(SUM(CASE WHEN
+      len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+      OR len(regexp_extract_all(text,
+        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) > 0
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+ORACLES["repetition_stats"] = f"""
+WITH {_DOC_TOKS.lstrip()},
+per AS (
+  SELECT source,
+    greatest(len(tokens) - 2, 0) AS total,
+    len(list_distinct(list_transform(
+      generate_series(1, greatest(len(tokens) - 2, 0)),
+      i -> array_to_string(list_slice(tokens, i, i + 2), ' ')))) AS dist
+  FROM toks
+),
+ratios AS (
+  SELECT source,
+    CASE WHEN total > 0 THEN 1 - dist / CAST(total AS DOUBLE) ELSE 0 END AS r
+  FROM per
+)
+SELECT source, round(avg(r), 4) AS avg_dup_ratio,
+  CAST(SUM(CASE WHEN r > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ratios GROUP BY source
+"""
+
 ORACLES["stratified_sample"] = """
 SELECT source, doc_id FROM (
   SELECT source, doc_id,

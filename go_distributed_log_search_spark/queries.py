@@ -457,6 +457,19 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_pii_stats(spark, sf_dir):
+    """Per-source PII audit (email / IPv4 occurrence + affected-doc
+    counts) with RE2-safe patterns that count identically in DuckDB —
+    the scrub-before-training compliance pass, scan-bound by design."""
+    return textstats.pii_stats(_docs(spark, sf_dir), "source")
+
+
+def q_repetition(spark, sf_dir):
+    """Per-source duplicate-3-gram audit: avg dup ratio + docs flagged
+    over 0.2 — the boilerplate/degenerate-text quality signal."""
+    return textstats.repetition_stats(_docs(spark, sf_dir), "source")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-source quota sampling (5 docs/source) on the portable md5(id)
     order — the corpus-mixture balancing step of a training-data build,
@@ -686,6 +699,8 @@ SPARK_QUERIES = {
     "len_percentiles": q_len_percentiles,
     "stratified_sample": q_stratified_sample,
     "train_split": q_train_split,
+    "pii_stats": q_pii_stats,
+    "repetition_stats": q_repetition,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,
