@@ -611,6 +611,29 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+ORACLES["pack_sequences"] = r"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS t
+  FROM documents
+),
+ord AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM toks
+),
+rec AS (
+  SELECT source, doc_id, rn, t, t AS acc, 0 AS pack FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.doc_id, o.rn, o.t,
+         CASE WHEN r.acc + o.t > 256 THEN o.t ELSE r.acc + o.t END,
+         CASE WHEN r.acc + o.t > 256 THEN r.pack + 1 ELSE r.pack END
+  FROM rec r JOIN ord o ON o.source = r.source AND o.rn = r.rn + 1
+)
+SELECT source, CAST(pack AS INT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS total_tokens
+FROM rec GROUP BY 1, 2
+"""
+
 ORACLES["pii_stats"] = r"""
 SELECT source,
   CAST(SUM(len(regexp_extract_all(text,

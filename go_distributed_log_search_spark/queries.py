@@ -457,6 +457,17 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy context-window packing (budget 256 whitespace tokens) per
+    source, summarized per pack; oracle = DuckDB recursive-CTE replay of
+    the same next-fit rule. The custom-operator (b)-tier showcase:
+    sequential-within-stream semantics via applyInPandas."""
+    from .operators import packing
+
+    packed = packing.pack_sequences(_docs(spark, sf_dir), budget=256)
+    return packing.pack_summary(packed)
+
+
 def q_pii_stats(spark, sf_dir):
     """Per-source PII audit (email / IPv4 occurrence + affected-doc
     counts) with RE2-safe patterns that count identically in DuckDB —
@@ -701,6 +712,7 @@ SPARK_QUERIES = {
     "train_split": q_train_split,
     "pii_stats": q_pii_stats,
     "repetition_stats": q_repetition,
+    "pack_sequences": q_pack_sequences,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,
