@@ -469,6 +469,7 @@ def main() -> None:
         tbest, tcpu, _tgc, trnds = _scaling_probe(
             TERMS_MULT, rounds=max(1, SCALE_ROUNDS - 1), job="terms",
             max_rounds=max(1, SCALE_ROUNDS - 1),
+            max_waits=4,  # secondary record: don't burn the wall budget
         )
         out["scaling"]["terms_agg_secondary"] = {
             "n_rows": n_turns * TERMS_MULT,

@@ -23,6 +23,8 @@ are stable across runs/cluster sizes.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -395,3 +397,89 @@ def dedup_clusters(
         F.count(F.lit(1)).alias("n_members"),
         F.max("id").alias("max_member"),
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Incremental exact-dedup of an incoming batch against an existing
+    corpus WITHOUT joining the full corpus per batch.
+
+    The 10^12-doc ingestion problem: every new batch must drop docs whose
+    normalized text already exists. A naive anti-join touches the whole
+    corpus per batch; instead the corpus fingerprint set folds into a
+    BLOOM FILTER once and each batch row probes it with a scalar test —
+    no join, no shuffle. Bloom "no" is definite: those rows pass through
+    untouched. Only the "maybe" slice (true dups + ~fpp false positives)
+    anti-joins the corpus fingerprints for exact confirmation, so the
+    expensive join's input is ~the batch's dup rate, not the batch.
+
+    Spark's internal bloom_filter_agg is not SQL-exposed (it backs
+    runtime join filters), so the same partial-sketch-merge shape is
+    built directly: each corpus partition folds its fingerprints into a
+    numpy bitset inside ``mapInPandas`` (Arrow-batched, one m/8-byte
+    sketch per partition leaves the executor — never data), the driver
+    ORs the partition sketches, and the merged filter broadcasts back for
+    an Arrow-batched probe. Bit positions use Kirsch-Mitzenmacher double
+    hashing h_i = h1 + i*h2 over the 64-bit fingerprint hash. Production
+    persists the merged sketch with the corpus snapshot and ORs new
+    partition sketches on append.
+
+    Returns batch rows whose fingerprint is NOT in the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    fp = fingerprint_expr(F.col(text_col))
+    corpus_fp = corpus.select(F.xxhash64(fp).alias("_fph")).persist()
+    n_items = max(corpus_fp.count(), 1)
+    m_bits = max(int(-n_items * math.log(fpp) / (math.log(2) ** 2)), 64)
+    m_bits = (m_bits + 63) // 64 * 64
+    k = max(int(round(m_bits / n_items * math.log(2))), 1)
+
+    def _positions(h: "np.ndarray") -> "np.ndarray":
+        h1 = h.astype(np.uint64)
+        h2 = (h1 >> np.uint64(33)) | (h1 << np.uint64(31))  # rotate, odd mix
+        h2 = h2 * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).ravel()
+
+    def _build(batches):
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                seen = True
+                pos = _positions(pdf["_fph"].to_numpy())
+                np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"sketch": [bits.tobytes()]})
+
+    sketches = corpus_fp.mapInPandas(_build, "sketch binary").collect()
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in sketches:
+        merged |= np.frombuffer(row["sketch"], dtype=np.uint8)
+    bc = corpus.sparkSession.sparkContext.broadcast(merged.tobytes())
+
+    def _might_contain_fn(s):
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        pos = _positions(s.to_numpy())
+        hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+        return pd.Series(hit.reshape(k, -1).all(axis=0))
+
+    # no type hints: the module-level `from __future__ import annotations`
+    # turns them into strings PySpark's hint resolver can't evaluate here
+    _might_contain = F.pandas_udf(_might_contain_fn, "boolean")
+
+    probe = batch.withColumn("_fph", F.xxhash64(fp)).withColumn(
+        "_maybe", _might_contain(F.col("_fph"))
+    )
+    definite_new = probe.filter(~F.col("_maybe"))
+    survivors = probe.filter(F.col("_maybe")).join(
+        corpus_fp, on="_fph", how="left_anti"
+    )
+    return definite_new.unionByName(survivors).drop("_fph", "_maybe")

@@ -611,6 +611,16 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+ORACLES["incremental_dedup"] = f"""
+WITH c AS (
+  SELECT DISTINCT {_FP} AS fp FROM documents WHERE doc_id % 3 = 0
+),
+b AS (
+  SELECT doc_id, {_FP} AS fp FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT doc_id FROM b WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.fp = b.fp)
+"""
+
 ORACLES["pack_sequences"] = r"""
 WITH RECURSIVE toks AS (
   SELECT source, doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS t

@@ -457,6 +457,17 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup: batch (doc_id % 3 != 0)
+    against corpus (doc_id % 3 == 0). The bloom sketch is probabilistic
+    but the OUTPUT is exact (maybes are anti-join confirmed), so the
+    oracle is a plain fingerprint anti-join."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.incremental_dedup(corpus, batch).select("doc_id")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy context-window packing (budget 256 whitespace tokens) per
     source, summarized per pack; oracle = DuckDB recursive-CTE replay of
@@ -713,6 +724,7 @@ SPARK_QUERIES = {
     "pii_stats": q_pii_stats,
     "repetition_stats": q_repetition,
     "pack_sequences": q_pack_sequences,
+    "incremental_dedup": q_incremental_dedup,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,

@@ -120,3 +120,20 @@ def test_stratified_sample_prefilter_exact(spark):
     pre = sorted(tuple(r) for r in sampling.stratified_sample(
         docs, "source", "doc_id", 3, prefilter_factor=20).collect())
     assert full == pre and full
+
+
+def test_incremental_dedup_bloom(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} body") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        # 10 replays of corpus docs (same normalized text) + 10 new docs
+        [(1000 + i, f"corpus document number {i} body") for i in range(10)]
+        + [(2000 + i, f"brand new document {i}") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = dedup.incremental_dedup(corpus, batch)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [2000 + i for i in range(10)]
+    assert out.columns == ["doc_id", "text"]
