@@ -611,6 +611,12 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+ORACLES["conv_assembly"] = """WITH_PRELUDE
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5
+FROM transcripts GROUP BY conv_id
+"""
+
 ORACLES["incremental_dedup"] = f"""
 WITH c AS (
   SELECT DISTINCT {_FP} AS fp FROM documents WHERE doc_id % 3 = 0

@@ -457,6 +457,31 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_conv_assembly(spark, sf_dir):
+    """Conversation reassembly under stable turn ordering — the north
+    rule's 'per-turn text equality' invariant as an oracle query: every
+    conversation's turns concatenated in turn_idx order and md5-hashed.
+    A single out-of-order or byte-different turn anywhere in the corpus
+    flips its conversation's hash. sort_array on (turn_idx, text) structs
+    keeps the whole assembly JVM-side (no window, one shuffle)."""
+    t = _t(spark, sf_dir)
+    assembled = (
+        t.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("_full"),
+        )
+        .select("conv_id", "n_turns", F.md5("_full").alias("text_md5"))
+    )
+    return assembled
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Bloom-prefiltered incremental dedup: batch (doc_id % 3 != 0)
     against corpus (doc_id % 3 == 0). The bloom sketch is probabilistic
@@ -725,6 +750,7 @@ SPARK_QUERIES = {
     "repetition_stats": q_repetition,
     "pack_sequences": q_pack_sequences,
     "incremental_dedup": q_incremental_dedup,
+    "conv_assembly": q_conv_assembly,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,
