@@ -10,11 +10,15 @@ size, with no RNG state anywhere.
 Scale shapes:
 - stratified_sample: row_number window partitioned by the stratum. The
   stratum cardinality is low (sources, languages), so the window shuffle
-  is skewed by construction — at 10^12 rows pre-filter candidates with a
-  generous hash-prefix bound first (``prefilter_factor``): only
-  ~factor * quota rows per stratum survive into the window, the rest are
-  cut at the scan with a pushed predicate on a deterministic expression.
-  The final quota is still exact.
+  is skewed by construction — two independent mitigations:
+  (1) Spark >= 3.5 inserts WindowGroupLimit BELOW the exchange (verified
+  in this operator's physical plan): every map task pre-prunes to its
+  local top-quota per stratum before shuffling, so the skewed reducer
+  receives at most quota x map-tasks rows, not the stratum;
+  (2) ``prefilter_factor`` additionally cuts candidates at the scan with
+  a deterministic hash-prefix band (~factor * quota rows per stratum)
+  when even quota x map-tasks is too much. The final quota is exact
+  either way.
 - split_assign: pure map-side projection (hash mod 100 against cumulative
   percentage bounds) — no shuffle, no state, resumable by construction.
 """

@@ -463,7 +463,15 @@ def q_conv_assembly(spark, sf_dir):
     conversation's turns concatenated in turn_idx order and md5-hashed.
     A single out-of-order or byte-different turn anywhere in the corpus
     flips its conversation's hash. sort_array on (turn_idx, text) structs
-    keeps the whole assembly JVM-side (no window, one shuffle)."""
+    keeps the whole assembly JVM-side (no window, one shuffle).
+
+    Scale note: collect_list holds one conversation per group in memory —
+    fine for real conversations (bounded turn counts), not for the Zipf
+    head at 10^12 turns. There, segment to (conv_id, turn_idx // B)
+    chunks, assemble chunks independently, and hash the ordered chunk-
+    hash sequence — an equally strong equality invariant (any reordered
+    or altered turn still flips the final hash) with bounded group state.
+    """
     t = _t(spark, sf_dir)
     assembled = (
         t.groupBy("conv_id")
