@@ -611,6 +611,44 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+# End-to-end corpus build: every stage's oracle chained into one query
+# (scrub 'g'-flagged to match Spark's replace-all default).
+ORACLES["corpus_build"] = r"""
+WITH RECURSIVE scrub AS (
+  SELECT doc_id, regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text
+  FROM documents
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM scrub GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+),
+kept AS (SELECT s.doc_id, s.text FROM scrub s JOIN keepers USING (doc_id)),
+sp AS (
+  SELECT doc_id, text,
+    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 AS b
+        FROM kept)
+),
+toks AS (SELECT split, doc_id,
+                CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS t FROM sp),
+ord AS (SELECT *, row_number() OVER (PARTITION BY split ORDER BY doc_id) AS rn
+        FROM toks),
+rec AS (
+  SELECT split, doc_id, rn, t, t AS acc, 0 AS pack FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.split, o.doc_id, o.rn, o.t,
+         CASE WHEN r.acc + o.t > 512 THEN o.t ELSE r.acc + o.t END,
+         CASE WHEN r.acc + o.t > 512 THEN r.pack + 1 ELSE r.pack END
+  FROM rec r JOIN ord o ON o.split = r.split AND o.rn = r.rn + 1
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT pack) AS BIGINT) AS n_packs,
+       CAST(SUM(t) AS BIGINT) AS total_tokens
+FROM rec GROUP BY split
+"""
+
 ORACLES["conv_assembly"] = """WITH_PRELUDE
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
        md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS text_md5

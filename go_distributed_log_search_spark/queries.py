@@ -457,6 +457,15 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_corpus_build(spark, sf_dir):
+    """End-to-end corpus build (scrub -> dedup -> split -> pack) as ONE
+    chained oracle: per-split docs/packs/tokens. The 'a user could run
+    their whole training-data build here' query."""
+    from .corpus import corpus_build
+
+    return corpus_build(_docs(spark, sf_dir), budget=512)
+
+
 def q_conv_assembly(spark, sf_dir):
     """Conversation reassembly under stable turn ordering — the north
     rule's 'per-turn text equality' invariant as an oracle query: every
@@ -759,6 +768,7 @@ SPARK_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "incremental_dedup": q_incremental_dedup,
     "conv_assembly": q_conv_assembly,
+    "corpus_build": q_corpus_build,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,
