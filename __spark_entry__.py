@@ -11,8 +11,8 @@ semantics verified in tests/test_transcripts_view.py.
 Column-name discipline: every computed column is aliased identically in the
 Spark DataFrame code (queries.py) and the oracle SQL (oracles.py).
 Queries present here but absent from oracle_sql() are rows-only checks
-(banded MinHash-LSH, ANN, HLL approx-distinct) — their correctness is
-asserted in tests/ against exact kernels instead.
+(LSH-ANN top-k, HLL approx-distinct — engine-specific sketches) — their
+correctness is asserted in tests/ against exact kernels instead.
 """
 
 from __future__ import annotations
