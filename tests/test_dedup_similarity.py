@@ -137,3 +137,14 @@ def test_incremental_dedup_bloom(spark):
     ids = sorted(r.doc_id for r in out.collect())
     assert ids == [2000 + i for i in range(10)]
     assert out.columns == ["doc_id", "text"]
+
+
+def test_incremental_dedup_edges(spark):
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    batch = spark.createDataFrame([(1, "only doc")], schema)
+    # empty corpus: everything survives
+    assert [r.doc_id for r in dedup.incremental_dedup(empty, batch).collect()] == [1]
+    # all-dup batch: nothing survives
+    corpus = spark.createDataFrame([(0, "only doc")], schema)
+    assert dedup.incremental_dedup(corpus, batch).count() == 0
