@@ -51,6 +51,15 @@ def routed(df: DataFrame) -> DataFrame:
     instead persists the tagged frame and runs one filtered append per sink
     to avoid materializing the explode twice. The null-tag filter runs on
     the exploded scalar column (codegen) rather than inside the array (HOF).
+
+    Shape alternatives measured (3.2M turns, local[8], sink-count job,
+    round 3): this explode+filter 4.63s; array_compact before the explode
+    5.35s (the compact is an extra array copy that doesn't pay for the
+    rows it saves the Generate); filter() HOF inside the array 6.20s
+    (interpreted eval, as documented above); conditional-SUM aggregation
+    0.16s — 29x faster but ONLY valid when the query wants counts, since
+    it never materializes the routed rows (route_counts-style consumers
+    could use it; the router itself exists to emit rows to sinks).
     """
     return (
         with_sink_tags(df)
