@@ -60,6 +60,12 @@ def routed(df: DataFrame) -> DataFrame:
     0.16s — 29x faster but ONLY valid when the query wants counts, since
     it never materializes the routed rows (route_counts-style consumers
     could use it; the router itself exists to emit rows to sinks).
+    Also measured: the writer's persist-then-3-filtered-passes shape costs
+    5.05s and three re-computed passes 5.76s for the COUNT job — the
+    cache materialization outweighs the Generate here; the writer still
+    uses persist because its passes APPEND full rows (re-parsing per sink
+    would triple the parse, and appends can't share one explode without
+    materializing it anyway).
     """
     return (
         with_sink_tags(df)
