@@ -373,7 +373,10 @@ def connected_components(
                 "old",
                 F.least("l1", F.coalesce("ll", F.col("l1"))).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: the convergence count below materializes the
+            # checkpoint inside ITS job — one Spark job per iteration
+            # instead of two (checkpoint job + count job)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.filter(F.col("label") != F.col("old")).limit(1).count()
