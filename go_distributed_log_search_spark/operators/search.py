@@ -69,3 +69,73 @@ def match_predicate(df_columns: list[str], query: str) -> Column:
     for c in df_columns:
         cond = cond | contains_ci(F.col(c), query)
     return cond
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranking over the corpus — the scoring Bluge/Lucene runs inside
+    its inverted index (the reference delegates ranking to Bluge;
+    search.go's additive field scorer is its own layer on top), expressed
+    as explicit DataFrame algebra so it runs at 100 TB without an index:
+
+      idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))     (Lucene variant)
+      score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b*len/avglen))
+
+    Plan shape: the term filter lands BEFORE the tf aggregation, so only
+    query-term postings (|terms| x matching docs) ever aggregate or join
+    — everything else dies at the exploded-scan stage. Doc lengths are a
+    per-doc map-side count; df and avglen are tiny aggregates broadcast
+    into the scoring join. One shuffle on (doc, term), broadcast
+    everything else.
+    """
+    from ..functions.tokenize import tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.explode(tokenize(F.col(text_col), "default")).alias("term"),
+    )
+    doclen = toks.groupBy("_d").agg(F.count(F.lit(1)).alias("dl"))
+    n_avg = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy("_d", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, "_d")
+        .crossJoin(F.broadcast(n_avg))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "w",
+            # per-term weight rounded to 6dp BEFORE the sum: double
+            # addition is non-associative, so summing engine-identical
+            # rounded terms keeps the final 4dp score bit-stable across
+            # engines regardless of aggregation order
+            F.round(
+                F.col("idf") * F.col("tf") * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.groupBy("_d")
+        .agg(F.round(F.sum("w"), 4).alias("bm25"))
+        .select(F.col("_d").alias(id_col), "bm25")
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

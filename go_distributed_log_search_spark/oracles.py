@@ -611,6 +611,30 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
 FROM m GROUP BY user_id
 """
 
+ORACLES["bm25_topk"] = """
+WITH toks AS (
+  SELECT doc_id AS d,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+doclen AS (SELECT d, COUNT(*) AS dl FROM toks GROUP BY d),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen),
+tf AS (
+  SELECT d, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('hash', 'filter', 'slow') GROUP BY d, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.d,
+         round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS w
+  FROM tf JOIN dfreq USING (term) JOIN doclen USING (d) CROSS JOIN stats
+)
+SELECT d AS doc_id, round(SUM(w), 4) AS bm25
+FROM scored GROUP BY d ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
 # End-to-end corpus build: every stage's oracle chained into one query
 # (scrub 'g'-flagged to match Spark's replace-all default).
 ORACLES["corpus_build"] = r"""

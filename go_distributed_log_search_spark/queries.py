@@ -457,6 +457,15 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-20 for a 3-term query over documents — the ranking layer
+    Bluge runs inside its index, as explicit DataFrame algebra with a
+    DuckDB formula-twin oracle."""
+    return search.bm25_topk(
+        _docs(spark, sf_dir), ["hash", "filter", "slow"], k=20
+    )
+
+
 def q_corpus_build(spark, sf_dir):
     """End-to-end corpus build (scrub -> dedup -> split -> pack) as ONE
     chained oracle: per-split docs/packs/tokens. The 'a user could run
@@ -769,6 +778,7 @@ SPARK_QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "conv_assembly": q_conv_assembly,
     "corpus_build": q_corpus_build,
+    "bm25_topk": q_bm25_topk,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,
