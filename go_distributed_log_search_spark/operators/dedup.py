@@ -486,3 +486,60 @@ def incremental_dedup(
         corpus_fp, on="_fph", how="left_anti"
     )
     return definite_new.unionByName(survivors).drop("_fph", "_maybe")
+
+
+def decontaminate_stats(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    group_col: str = "source",
+) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene step that
+    removes corpus documents sharing any word ``n``-gram with a held-out
+    eval/benchmark set (the standard n-gram-overlap rule, e.g. GPT-3
+    appendix C / PaLM's 13-gram filter; here n is a parameter).
+
+    Returns per-``group_col`` counts: total docs, contaminated docs, and
+    the contamination rate — the audit table a pipeline operator reads
+    before dropping.
+
+    Plan shape: both sides shingle at the scan (same ``word_ngrams``
+    kernel as MinHash), then shrink to 8-byte xxhash64 values BEFORE any
+    shuffle — the join moves hashes, never text. The eval side (a
+    benchmark suite: thousands of docs, ~1e6-1e7 distinct shingles even
+    for big suites) is distinct-ed and BROADCAST, so the corpus side is
+    matched map-side with zero shuffle of the 100 TB table; the only
+    wide ops are the distinct on contaminated ids and the final tiny
+    group-count. A 2^-64 hash collision mislabels one doc contaminated —
+    negligible and conservative (false positive drops a clean doc, never
+    leaks an eval doc).
+    """
+    grams_e = (
+        eval_df.select(F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
+        .select(F.xxhash64("shingle").alias("_h"))
+        .distinct()
+    )
+    grams_c = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+    ).select(id_col, F.xxhash64("shingle").alias("_h"))
+    contaminated = (
+        grams_c.join(F.broadcast(grams_e), "_h", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_dirty", F.lit(1))
+    )
+    return (
+        corpus.select(id_col, group_col)
+        .join(contaminated, id_col, "left")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("_dirty"), F.lit(0))).alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(F.col("n_contaminated") / F.col("n_docs"), 4),
+        )
+    )

@@ -139,3 +139,50 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def phrase_topk(
+    df: DataFrame,
+    phrase_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Positional phrase match — the query the reference's ``pos`` record
+    option exists for (src/config/text.go:7-11 stores term positions so
+    Bluge can answer PhraseQuery; the CLI never exposes it, making this
+    the natural extension of that stored capability).
+
+    Semantics: tokenize with the ``default`` analyzer, then count the
+    positions i where tokens[i..i+K-1] equals the phrase exactly
+    (overlapping occurrences count — identical to walking the position
+    postings). Top-k docs by occurrence count.
+
+    Plan shape: ONE column expression per row (tokenize + a higher-order
+    filter over candidate start offsets) — a pure scan with predicate and
+    column pruning intact, NO shuffle, no join, no explode. At 100 TB this
+    is scan-bound and embarrassingly parallel; the only data movement is
+    the final TakeOrderedAndProject top-k merge of (id, count) pairs. An
+    inverted-index engine answers from postings without the scan, but on
+    an unindexed lake this is the optimal one-pass shape.
+    """
+    from ..functions.tokenize import tokenize
+
+    kk = len(phrase_terms)
+    phrase = F.array(*[F.lit(t.lower()) for t in phrase_terms])
+    toks = tokenize(F.col(text_col), "default")
+    d = df.select(F.col(id_col), toks.alias("_toks"))
+    # guard short docs: sequence(1, 0) would DESCEND, not return empty
+    starts = F.sequence(F.lit(1), F.size(F.col("_toks")) - kk + 1)
+    occ = F.when(
+        F.size(F.col("_toks")) >= kk,
+        F.size(
+            F.filter(starts, lambda i: F.slice(F.col("_toks"), i, kk) == phrase)
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        d.select(F.col(id_col), occ.alias("n_occ"))
+        .filter(F.col("n_occ") > 0)
+        .orderBy(F.col("n_occ").desc(), F.col(id_col))
+        .limit(k)
+    )

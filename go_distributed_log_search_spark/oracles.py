@@ -635,6 +635,64 @@ SELECT d AS doc_id, round(SUM(w), 4) AS bm25
 FROM scored GROUP BY d ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
+# Positional phrase match: same lambda-over-start-offsets definition as
+# the Spark HOF (overlapping occurrences count).
+ORACLES["phrase_search"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id, CAST(n_occ AS INT) AS n_occ FROM (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2 THEN
+      len(list_filter(range(1, len(t) - 2 + 2),
+                      i -> list_slice(t, i, i + 1) = ['key', 'scan']))
+    ELSE 0 END AS n_occ
+  FROM toks)
+WHERE n_occ > 0
+ORDER BY n_occ DESC, doc_id LIMIT 20
+"""
+
+# Decontamination: raw-shingle semi-join (Spark joins xxhash64 of the same
+# shingles — equivalent up to a 2^-64 collision).
+ORACLES["decontaminate"] = """
+WITH etoks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents WHERE doc_id % 11 = 0
+),
+eg AS (
+  SELECT DISTINCT unnest(list_transform(
+           generate_series(1, greatest(len(t) - 4, 0)),
+           i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS shingle
+  FROM etoks
+),
+ctoks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+  FROM documents WHERE doc_id % 11 <> 0
+),
+cg AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(t) - 4, 0)),
+           i -> array_to_string(list_slice(t, i, i + 4), ' '))) AS shingle
+  FROM ctoks
+),
+cont AS (
+  SELECT DISTINCT doc_id FROM cg
+  WHERE shingle IN (SELECT shingle FROM eg)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated,
+       round(COUNT(c.doc_id) * 1.0 / COUNT(*), 4) AS contamination_rate
+FROM (SELECT doc_id, source FROM documents WHERE doc_id % 11 <> 0) d
+LEFT JOIN cont c USING (doc_id)
+GROUP BY d.source
+"""
+
 # End-to-end corpus build: every stage's oracle chained into one query
 # (scrub 'g'-flagged to match Spark's replace-all default).
 ORACLES["corpus_build"] = r"""

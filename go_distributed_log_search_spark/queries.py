@@ -466,6 +466,25 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def q_phrase_search(spark, sf_dir):
+    """Positional phrase query ("key scan") over documents — the
+    capability the reference's `pos` record option stores positions for
+    (config/text.go:7-11); top-20 docs by occurrence count."""
+    return search.phrase_topk(_docs(spark, sf_dir), ["key", "scan"], k=20)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination audit: doc_id % 11 == 0 plays the
+    held-out eval suite; per-source contamination counts under the
+    5-gram-overlap rule."""
+    from .operators.dedup import decontaminate_stats
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    return decontaminate_stats(corpus, ev, n=5)
+
+
 def q_corpus_build(spark, sf_dir):
     """End-to-end corpus build (scrub -> dedup -> split -> pack) as ONE
     chained oracle: per-split docs/packs/tokens. The 'a user could run
@@ -779,6 +798,8 @@ SPARK_QUERIES = {
     "conv_assembly": q_conv_assembly,
     "corpus_build": q_corpus_build,
     "bm25_topk": q_bm25_topk,
+    "phrase_search": q_phrase_search,
+    "decontaminate": q_decontaminate,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,

@@ -148,3 +148,38 @@ def test_incremental_dedup_edges(spark):
     # all-dup batch: nothing survives
     corpus = spark.createDataFrame([(0, "only doc")], schema)
     assert dedup.incremental_dedup(corpus, batch).count() == 0
+
+
+def test_decontaminate_stats_exact(spark):
+    """A corpus doc is contaminated iff it shares ANY word n-gram with the
+    eval set; counts are per-source exact."""
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over", "eval")],
+        ["doc_id", "text", "source"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares 3-gram "quick brown fox"
+            (1, "a quick brown fox ran home today", "web"),
+            # same words, different order: no shared 3-gram
+            (2, "fox brown quick the over jumps", "web"),
+            # clean
+            (3, "completely different words here now", "books"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        r.source: (r.n_docs, r.n_contaminated, r.contamination_rate)
+        for r in dedup.decontaminate_stats(corpus, ev, n=3).collect()
+    }
+    assert rows == {"web": (2, 1, 0.5), "books": (1, 0, 0.0)}
+
+
+def test_decontaminate_short_docs_never_contaminate(spark):
+    """Docs shorter than n tokens produce zero shingles on either side."""
+    ev = spark.createDataFrame([(1, "a b", "e")], ["doc_id", "text", "source"])
+    corpus = spark.createDataFrame(
+        [(2, "a b", "web")], ["doc_id", "text", "source"]
+    )
+    rows = dedup.decontaminate_stats(corpus, ev, n=5).collect()
+    assert [(r.n_docs, r.n_contaminated) for r in rows] == [(1, 0)]

@@ -62,3 +62,32 @@ def test_match_predicate(spark, parsed):
     # all WARN rows match (case-insensitive substring)
     warn = parsed.filter(F.col("level") == "WARN").count()
     assert n >= warn > 0
+
+
+def test_phrase_topk_overlap_and_guards(spark):
+    """Overlapping occurrences count ("a a a" has TWO "a a" starts);
+    short docs (len < K) and non-adjacent terms never match."""
+    df = spark.createDataFrame(
+        [
+            (1, "a a a"),            # overlapping: 2 occurrences
+            (2, "x a y a"),          # terms present, never adjacent: 0
+            (3, "a"),                # shorter than the phrase: 0
+            (4, "b A-a c"),          # case/punct normalize: "a a" once
+            (5, ""),                 # empty
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.n_occ
+        for r in search.phrase_topk(df, ["a", "a"], k=10).collect()
+    }
+    assert got == {1: 2, 4: 1}
+
+
+def test_phrase_topk_k_truncates_deterministically(spark):
+    df = spark.createDataFrame(
+        [(i, "p q r") for i in range(10)], ["doc_id", "text"]
+    )
+    rows = search.phrase_topk(df, ["p", "q"], k=3).collect()
+    # equal counts -> doc_id ascending tiebreak
+    assert [(r.doc_id, r.n_occ) for r in rows] == [(0, 1), (1, 1), (2, 1)]
