@@ -192,3 +192,59 @@ def repetition_stats(df: DataFrame, group_col: str, text_col: str = "text",
         F.sum(F.when(F.col("_r") > flag_ratio, 1).otherwise(0)).alias("n_flagged"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+def vocab_oov_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50,
+    group_col: str = "source",
+) -> DataFrame:
+    """Vocabulary build + out-of-vocabulary audit — the tokenizer-prep
+    question every training pipeline asks: with a top-V corpus
+    vocabulary, what fraction of each subcorpus' tokens fall outside it?
+
+    Vocabulary = top ``vocab_size`` terms by corpus frequency, ties
+    broken (count desc, term asc) so the boundary is deterministic and
+    an oracle can replay it. The vocabulary is collected to the driver —
+    a CONTROL-PLANE collect bounded by ``vocab_size`` (like
+    similarity._query_matrix), never corpus-sized — and pushed back as
+    one literal array, so the per-doc OOV count is a pure HOF scan: NO
+    per-doc shuffle, no join. The only wide op is the term-frequency
+    aggregate that builds the vocabulary (partial-agg'd, term-keyed).
+
+    Returns (group, n_docs, n_tokens, n_oov_tokens, avg_oov_rate) where
+    avg_oov_rate is the per-doc macro average rounded to 4dp. Docs with
+    zero tokens are excluded (no rate to average).
+    """
+    toks = tokenize(F.col(text_col), "default")
+    vocab_rows = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term"))
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = F.array(*[F.lit(r["term"]) for r in vocab_rows])
+    per_doc = (
+        df.select(
+            F.col(group_col),
+            toks.alias("_t"),
+        )
+        .filter(F.size(F.col("_t")) > 0)
+        .select(
+            group_col,
+            F.size(F.col("_t")).alias("n"),
+            F.size(
+                F.filter(F.col("_t"), lambda t: ~F.array_contains(vocab, t))
+            ).alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum("n_oov").cast("bigint").alias("n_oov_tokens"),
+        F.round(F.avg(F.col("n_oov") / F.col("n")), 4).alias("avg_oov_rate"),
+    )

@@ -693,6 +693,80 @@ LEFT JOIN cont c USING (doc_id)
 GROUP BY d.source
 """
 
+# Lloyd k-means, 2 iterations replayed as CTEs: deterministic lowest-id
+# init, argmin ties to the lowest centroid id (row_number ORDER BY
+# (distance, cid) == numpy argmin's first-minimal-index).
+ORACLES["kmeans_clusters"] = """
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+init AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, v AS c
+  FROM pts ORDER BY vec_id LIMIT 8
+),
+a1 AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_distance(v, c), cid) AS rk
+  FROM pts CROSS JOIN init
+),
+s1 AS (SELECT vec_id, v, cid FROM a1 WHERE rk = 1),
+c1 AS (
+  SELECT cid, list(av ORDER BY pos) AS c FROM (
+    SELECT cid, pos, avg(val) AS av FROM (
+      SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM s1)
+    GROUP BY cid, pos)
+  GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_distance(v, c), cid) AS rk
+  FROM pts CROSS JOIN c1
+),
+s2 AS (SELECT vec_id, v, cid FROM a2 WHERE rk = 1),
+c2 AS (
+  SELECT cid, list(av ORDER BY pos) AS c FROM (
+    SELECT cid, pos, avg(val) AS av FROM (
+      SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM s2)
+    GROUP BY cid, pos)
+  GROUP BY cid
+),
+a3 AS (
+  SELECT vec_id, cid, list_distance(v, c) AS d,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_distance(v, c), cid) AS rk
+  FROM pts CROSS JOIN c2
+)
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       round(avg(d), 4) AS avg_dist
+FROM a3 WHERE rk = 1 GROUP BY cid
+"""
+
+# Vocabulary build + OOV audit: top-16 by (count desc, term asc) — the
+# boundary falls inside a frequency tie, so the tie-break is load-bearing.
+ORACLES["vocab_oov"] = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+term AS (SELECT unnest(t) AS term FROM toks),
+tc AS (SELECT term, COUNT(*) AS c FROM term GROUP BY term),
+vocab AS (SELECT term FROM tc ORDER BY c DESC, term LIMIT 16),
+vlist AS (SELECT list(term) AS vl FROM vocab),
+per_doc AS (
+  SELECT doc_id, source, len(t) AS n,
+         len(list_filter(t, x -> NOT list_contains(vl, x))) AS n_oov
+  FROM toks CROSS JOIN vlist WHERE len(t) > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_oov) AS BIGINT) AS n_oov_tokens,
+       round(avg(n_oov * 1.0 / n), 4) AS avg_oov_rate
+FROM per_doc GROUP BY source
+"""
+
 # End-to-end corpus build: every stage's oracle chained into one query
 # (scrub 'g'-flagged to match Spark's replace-all default).
 ORACLES["corpus_build"] = r"""

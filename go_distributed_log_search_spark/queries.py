@@ -485,6 +485,25 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate_stats(corpus, ev, n=5)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd k-means (k=8, 2 iterations, deterministic
+    lowest-id init) over embeddings; per-cluster audit table. Oracle
+    replays both iterations as SQL CTEs."""
+    from .operators.cluster import kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans(emb, k=8, iters=2)
+
+
+def q_vocab_oov(spark, sf_dir):
+    """Top-16 vocabulary + per-source OOV audit (the 16-term boundary
+    falls inside a frequency tie, pinning the (count desc, term asc)
+    tie-break in both engines)."""
+    from .operators.textstats import vocab_oov_stats
+
+    return vocab_oov_stats(_docs(spark, sf_dir), vocab_size=16)
+
+
 def q_corpus_build(spark, sf_dir):
     """End-to-end corpus build (scrub -> dedup -> split -> pack) as ONE
     chained oracle: per-split docs/packs/tokens. The 'a user could run
@@ -800,6 +819,8 @@ SPARK_QUERIES = {
     "bm25_topk": q_bm25_topk,
     "phrase_search": q_phrase_search,
     "decontaminate": q_decontaminate,
+    "kmeans_clusters": q_kmeans_clusters,
+    "vocab_oov": q_vocab_oov,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,

@@ -63,3 +63,35 @@ def test_approx_distinct_close_to_exact(spark):
         assert abs(r.approx_distinct - r.exact_distinct) <= max(
             3, 0.05 * r.exact_distinct
         ), r
+
+
+def test_vocab_oov_stats_exact(spark):
+    """Vocabulary = top-V by (count desc, term asc); OOV counted per doc
+    against that exact boundary."""
+    from go_distributed_log_search_spark.operators.textstats import vocab_oov_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa bb cc", "s1"),   # aa:2 bb:1 cc:1
+            (2, "aa bb bb dd", "s2"),   # dd ties cc at count 1
+        ],
+        ["doc_id", "text", "source"],
+    )
+    # counts: aa=3, bb=3, cc=1, dd=1; V=3 -> vocab {aa, bb, cc}
+    # (cc beats dd on the term-asc tie-break)
+    rows = {
+        r.source: (r.n_docs, r.n_tokens, r.n_oov_tokens, r.avg_oov_rate)
+        for r in vocab_oov_stats(df, vocab_size=3).collect()
+    }
+    assert rows == {"s1": (1, 4, 0, 0.0), "s2": (1, 4, 1, 0.25)}
+
+
+def test_vocab_oov_skips_empty_docs(spark):
+    from go_distributed_log_search_spark.operators.textstats import vocab_oov_stats
+
+    df = spark.createDataFrame(
+        [(1, "x y", "s"), (2, "", "s"), (3, "...", "s")],
+        ["doc_id", "text", "source"],
+    )
+    [r] = vocab_oov_stats(df, vocab_size=10).collect()
+    assert (r.n_docs, r.n_tokens, r.n_oov_tokens) == (1, 2, 0)
