@@ -910,6 +910,28 @@ SELECT role,
 FROM transcripts GROUP BY role
 """
 
+# Per-hour top-3 trending terms: time_bucket + row_number, same
+# (cnt desc, term asc) tiebreak as the Spark window
+ORACLES["trending_terms"] = """WITH_PRELUDE,
+terms AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS hour_start,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM transcripts
+),
+c AS (
+  SELECT hour_start, term, COUNT(*) AS cnt FROM terms GROUP BY hour_start, term
+),
+r AS (
+  SELECT hour_start, term, cnt,
+         ROW_NUMBER() OVER (PARTITION BY hour_start
+                            ORDER BY cnt DESC, term) AS rank
+  FROM c
+)
+SELECT hour_start, term, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
 ORACLES["hourly_windows"] = """
 SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start,
        time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR

@@ -629,6 +629,34 @@ def q_hourly_windows(spark, sf_dir):
     return windowed_counts_batch(ev, window="1 hour")
 
 
+def q_trending_terms(spark, sf_dir):
+    """Per-hour top-3 trending terms over transcript text — the classic
+    log-analytics leaderboard (Splunk `timechart ... top`). Plan: explode
+    lands directly on the (window, term) hash aggregate (partial-agg'd);
+    the row_number filter becomes a `WindowGroupLimit` below the
+    exchange in Spark 4, so map tasks pre-prune to local top-3 per hour
+    and the window reducer never sees the full term distribution."""
+    from pyspark.sql import Window as W
+
+    from .functions.tokenize import tokenize
+
+    t = _t(spark, sf_dir)
+    counts = (
+        t.select(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            F.explode(tokenize(F.col("text"), "default")).alias("term"),
+        )
+        .groupBy("hour_start", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("hour_start").orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("hour_start", "term", "cnt", "rank")
+    )
+
+
 def q_time_rollup(spark, sf_dir):
     """Hypertable-style multi-granularity rollup in ONE pass: per-type
     counts at (day, hour) and (day) granularities via GROUPING SETS —
@@ -821,6 +849,7 @@ SPARK_QUERIES = {
     "decontaminate": q_decontaminate,
     "kmeans_clusters": q_kmeans_clusters,
     "vocab_oov": q_vocab_oov,
+    "trending_terms": q_trending_terms,
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,

@@ -91,3 +91,40 @@ def test_phrase_topk_k_truncates_deterministically(spark):
     rows = search.phrase_topk(df, ["p", "q"], k=3).collect()
     # equal counts -> doc_id ascending tiebreak
     assert [(r.doc_id, r.n_occ) for r in rows] == [(0, 1), (1, 1), (2, 1)]
+
+
+def test_trending_terms_tiebreak_and_limit(spark):
+    """Per-hour top-3 with (cnt desc, term asc) — rank is dense-free
+    row_number, so the 3-row cut is deterministic across engines."""
+    from datetime import datetime
+
+    from go_distributed_log_search_spark.queries import q_trending_terms  # noqa: F401
+    from pyspark.sql import Window as W
+
+    rows = [
+        ("c1", 0, datetime(2024, 1, 1, 10, 5), "b b a a c"),
+        ("c1", 1, datetime(2024, 1, 1, 10, 25), "d d"),
+        ("c1", 2, datetime(2024, 1, 1, 11, 0), "z"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts", "text"])
+    from go_distributed_log_search_spark.functions.tokenize import tokenize
+
+    counts = (
+        df.select(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            F.explode(tokenize(F.col("text"), "default")).alias("term"),
+        )
+        .groupBy("hour_start", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("hour_start").orderBy(F.col("cnt").desc(), F.col("term"))
+    out = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    )
+    ten = sorted(
+        [(r.term, r.cnt, r.rank) for r in out if r.hour_start.hour == 10]
+    , key=lambda x: x[2])
+    # a/b/d all have cnt 2 -> term-asc tiebreak; c (cnt 1) is cut at 3
+    assert ten == [("a", 2, 1), ("b", 2, 2), ("d", 2, 3)]
