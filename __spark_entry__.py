@@ -11,8 +11,10 @@ semantics verified in tests/test_transcripts_view.py.
 Column-name discipline: every computed column is aliased identically in the
 Spark DataFrame code (queries.py) and the oracle SQL (oracles.py).
 Queries present here but absent from oracle_sql() are rows-only checks
-(LSH-ANN top-k, HLL approx-distinct — engine-specific sketches) — their
+(only HLL approx-distinct remains — an engine-specific sketch) — their
 correctness is asserted in tests/ against exact kernels instead.
+LSH-ANN graduated to a full oracle: its hyperplanes are a deterministic
+splitmix hash, so the oracle embeds the same ±1 matrix as literals.
 """
 
 from __future__ import annotations

@@ -635,6 +635,58 @@ SELECT d AS doc_id, round(SUM(w), 4) AS bm25
 FROM scored GROUP BY d ORDER BY bm25 DESC, doc_id LIMIT 20
 """
 
+def _lsh_planes_values(dim: int = 64, n_planes: int = 16) -> str:
+    """The Spark side's deterministic splitmix hyperplanes (±1 matrix,
+    operators/similarity._hyperplanes) rendered as a SQL VALUES list —
+    16 x 64 literals, so the oracle replays the exact same projection."""
+    from .operators.similarity import _hyperplanes
+
+    m = _hyperplanes(dim, n_planes)
+    rows = []
+    for p in range(n_planes):
+        lst = ",".join("1.0" if m[p, j] > 0 else "-1.0" for j in range(dim))
+        rows.append(f"({p}, [{lst}]::DOUBLE[])")
+    return ", ".join(rows)
+
+
+# Full LSH-ANN replay: literal hyperplanes -> sign-bit signature ->
+# 4x4-bit bands -> bucket equi-join candidates -> exact cosine re-rank
+# (round-6 like knn_bruteforce, which is hash-green on the same kernel).
+ORACLES["lsh_ann_topk"] = f"""
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(p, w) AS (VALUES {_lsh_planes_values()}),
+sigs AS (
+  SELECT vec_id,
+         SUM(CASE WHEN list_inner_product(v, w) >= 0
+                  THEN (1::BIGINT << p) ELSE 0 END) AS sig
+  FROM vecs CROSS JOIN planes GROUP BY vec_id
+),
+bands AS (SELECT unnest([0, 1, 2, 3]) AS band),
+bk AS (
+  SELECT vec_id, band, (sig >> (band * 4)) & 15 AS bucket
+  FROM sigs CROSS JOIN bands
+),
+qb AS (SELECT vec_id AS query_id, band, bucket FROM bk WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qb q JOIN bk c USING (band, bucket)
+  WHERE c.vec_id <> q.query_id
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+  FROM cand
+  JOIN vecs qv ON qv.vec_id = cand.query_id
+  JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+"""
+
 # Positional phrase match: same lambda-over-start-offsets definition as
 # the Spark HOF (overlapping occurrences count).
 ORACLES["phrase_search"] = """

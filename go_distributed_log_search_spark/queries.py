@@ -303,12 +303,14 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_lsh_ann(spark, sf_dir):
-    """rows-only: approximate by construction; recall asserted in tests."""
+    """LSH-ANN top-5 — now FULLY oracle-checked: the hyperplanes are a
+    deterministic splitmix hash (no RNG state), so the oracle embeds the
+    same ±1 plane matrix as literals and replays signature → bands →
+    bucket join → exact re-rank in SQL."""
     emb = _emb(spark, sf_dir)
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 10)
-    ann = similarity.lsh_bucketed_topk(emb, queries, dim=dim, k=5)
-    return ann.groupBy("query_id").agg(F.count(F.lit(1)).alias("n"), F.max("cos_sim").alias("best"))
+    return similarity.lsh_bucketed_topk(emb, queries, dim=dim, k=5)
 
 
 # ----------------------------------------------------------- multimodal
