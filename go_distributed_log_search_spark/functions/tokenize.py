@@ -4,15 +4,15 @@ Reference: /root/reference/src/config/mod.go:53-58 declares tokenizer
 ``default | raw | en_stem | whitespace`` per text field; Bluge applies them
 at index time (src/commands/index.go:174). Here a tokenizer is a Column ->
 ArrayType(String) expression used by the posting-count aggregation
-(operators/aggregate.py) and text stats. All JVM-side.
+(operators/aggregate.py) and text stats. All JVM-side except en_stem's
+Arrow-batched stemming pass.
 
 - default:    lowercase, split on non-alphanumeric runs, drop empties
               (Lucene/Bluge standard-analyzer analog).
 - whitespace: split on whitespace runs, case preserved.
 - raw:        whole trimmed value is a single term (keyword field).
-- en_stem:    default + a light English suffix-stripper (Porter step-1-ish)
-              expressed as chained regexp_replace — clearly labeled an
-              approximation of Bluge's en_stem.
+- en_stem:    default + the Porter2 (snowball english) stemmer — the
+              algorithm Bluge itself applies (functions/stemmer.py).
 """
 
 from __future__ import annotations
@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .stemmer import porter_stem
+from .stemmer import porter2_stem
 
 # Token = maximal alnum run of the lowercased text. Equivalent to
 # split-on-[^a-z0-9]+ then dropping empties (the DuckDB oracle's form), but
@@ -54,21 +54,21 @@ def tokenize_raw(col: Column, keep_empty: bool = False) -> Column:
 
 def _stem_tokens_impl(s: pd.Series) -> pd.Series:
     return s.map(
-        lambda toks: None if toks is None else [porter_stem(t) for t in toks]
+        lambda toks: None if toks is None else [porter2_stem(t) for t in toks]
     )
 
 
 def _stem_tokens_udf():
-    """array<string> -> array<string>, full Porter stem per token
+    """array<string> -> array<string>, Porter2 stem per token
     (functions/stemmer.py), Arrow-batched. Built lazily: pandas_udf
     registration needs an active session."""
     return F.pandas_udf(_stem_tokens_impl, "array<string>")
 
 
 def tokenize_en_stem(col: Column, keep_empty: bool = False) -> Column:
-    """default tokenization + the classic Porter stemmer (replaces the
-    round-2 regex approximation; Bluge's snowball Porter2 remains a small
-    documented delta — see functions/stemmer.py)."""
+    """default tokenization + the Porter2 (snowball english) stemmer —
+    the same algorithm Bluge applies for ``en_stem`` (closes the
+    round-2/3 classic-Porter delta; see functions/stemmer.py)."""
     return _stem_tokens_udf()(tokenize_default(col, keep_empty))
 
 

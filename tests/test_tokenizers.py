@@ -1,7 +1,7 @@
 """Tokenizer modes (config/mod.go:53-58): default / raw / whitespace /
 en_stem. default/raw/whitespace are oracle-backed via the terms_* driver
-queries; en_stem (the classic Porter algorithm; Bluge's Porter2 is a small
-documented delta) is pinned here and in test_stemmer.py."""
+queries; en_stem (Porter2 / snowball english — the same algorithm Bluge
+applies) is pinned here and in test_stemmer.py."""
 
 import pytest
 from pyspark.sql import functions as F
