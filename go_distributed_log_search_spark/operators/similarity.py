@@ -222,6 +222,133 @@ def lsh_bucketed_topk(
     )
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_id: int = 10,
+):
+    """Deterministic IVF seed centroids: the ``n_cells`` corpus vectors with
+    the smallest ids >= ``min_id`` (skipping the conventional query-id range
+    so tests stay readable). Returns (ids, matrix (n_cells, dim), norms).
+
+    This is the data-dependent analogue of the LSH hyperplanes: a rule any
+    engine can replay (ORDER BY id LIMIT n), so the oracle reconstructs the
+    same centroids in pure SQL. At production scale you'd train centroids
+    with ``operators.cluster.kmeans`` instead and broadcast the fitted
+    matrix — the routing shape below is identical either way.
+    """
+    np = _np()
+    rows = (
+        corpus.filter(F.col(id_col) >= min_id)
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    ids = [r[0] for r in rows]
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return ids, mat, norms
+
+
+def ivf_cells_udf(spark, cent_mat, cent_norms, nprobe: int = 1):
+    """pandas_udf: vec -> array of the ``nprobe`` nearest centroid cell
+    indices by cosine, ordered best-first. Ties break to the lowest cell
+    index in BOTH engines: similarities are rounded to 6 dp first (matching
+    the oracle's round(list_cosine_similarity, 6)), then argsort on
+    (-sim, cell) — np.argsort(kind="stable") over negated rounded sims.
+    Centroids ship as ONE broadcast numpy matrix, not plan literals."""
+    np = _np()
+    bc = spark.sparkContext.broadcast((cent_mat, cent_norms))
+
+    @pandas_udf("array<int>")
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat, norms = bc.value
+        c = np.asarray(vecs.tolist(), dtype=np.float64)  # (B, dim)
+        cn = np.linalg.norm(c, axis=1)
+        cn[cn == 0.0] = 1.0
+        sims = np.round((c @ mat.T) / cn[:, None] / norms[None, :], 6)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_min_id: int = 10,
+) -> DataFrame:
+    """IVF-Flat ANN — the inverted-file scale path the build brief names
+    alongside LSH: partition the corpus into ``n_cells`` Voronoi cells
+    around centroids, probe only the ``nprobe`` nearest cells per query,
+    exact cosine re-rank inside the probed cells.
+
+    Scale shape (the part that matters at 100 TB): the corpus is scanned
+    ONCE to tag each row with its single nearest cell (one broadcast-matmul
+    pandas_udf — no shuffle), candidates come from an equi-join on the cell
+    id against the broadcast (query, probed-cell) list, and only candidate
+    rows ever reach the scorer. Each (query, neighbor) pair meets in at most
+    one cell (a corpus row has exactly one cell), so no distinct is needed —
+    cheaper than LSH banding, at the cost of recall depending on centroid
+    quality. In production the cell id is a partition/cluster column of the
+    vector table, making a probe a partition-pruned scan of nprobe/n_cells
+    of the data.
+
+    Output: (query_id, neighbor_id, cos_sim, rank) — same contract as
+    brute_force_topk / lsh_bucketed_topk; recall < 1 by construction.
+    """
+    spark = corpus.sparkSession
+    _, cent_mat, cent_norms = seed_centroids(
+        corpus, n_cells, id_col, vec_col, min_id=seed_min_id
+    )
+    assign = ivf_cells_udf(spark, cent_mat, cent_norms, nprobe=1)
+    probe = ivf_cells_udf(spark, cent_mat, cent_norms, nprobe=nprobe)
+
+    tagged = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("neighbor_vec"),
+    ).withColumn("cell", assign(F.col("neighbor_vec"))[0])
+
+    qcells = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe(F.col(vec_col).cast("array<double>"))).alias("cell"),
+    )
+
+    q_ids, q_mat, q_norms = _query_matrix(queries, id_col, vec_col)
+    scorer = _cosine_scores_udf(spark, q_ids, q_mat, q_norms)
+    q_index = {q: i for i, q in enumerate(q_ids)}
+    pos_map = F.map_from_arrays(
+        F.array(*[F.lit(q) for q in q_index]),
+        F.array(*[F.lit(i) for i in q_index.values()]),
+    )
+
+    cand = (
+        tagged.join(F.broadcast(qcells), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "neighbor_vec")
+    )
+    scored = cand.withColumn("_scores", scorer(F.col("neighbor_vec"))).select(
+        "query_id",
+        "neighbor_id",
+        F.col("_scores")[pos_map[F.col("query_id")]].alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float,

@@ -86,6 +86,23 @@ SELECT role_kind, tool_family, CAST(COUNT(*) AS BIGINT) AS n_turns,
 FROM joined GROUP BY role_kind, tool_family
 """
 
+ORACLES["pivot_role_counts"] = """WITH_PRELUDE,
+joined AS (
+  SELECT r.role_kind, tl.tool_family
+  FROM transcripts t
+  LEFT JOIN dim_roles r ON t.role = r.role
+  LEFT JOIN dim_tools tl ON t.tool = tl.tool
+)
+SELECT tool_family,
+  CAST(SUM(CASE WHEN role_kind = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_control,
+  CAST(SUM(CASE WHEN role_kind = 'human' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_human,
+  CAST(SUM(CASE WHEN role_kind = 'agent' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_agent
+FROM joined GROUP BY tool_family
+"""
+
 ORACLES["turn_ordering"] = """WITH_PRELUDE,
 rn AS (
   SELECT conv_id, turn_idx,
@@ -671,6 +688,48 @@ cand AS (
   SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
   FROM qb q JOIN bk c USING (band, bucket)
   WHERE c.vec_id <> q.query_id
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+  FROM cand
+  JOIN vecs qv ON qv.vec_id = cand.query_id
+  JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5
+"""
+
+# IVF-Flat ANN replay: seed centroids are a pure SQL rule (smallest 8
+# vec_ids >= 10), so the oracle reconstructs them from the table itself —
+# no literals needed (unlike the data-independent LSH hyperplanes above).
+# assign = rank-1 cell per vector, probe = rank<=2 cells per query, both
+# on round(cosine, 6) DESC with lowest-cell tie-break, matching the Spark
+# side's stable argsort over rounded sims (similarity.ivf_cells_udf).
+ORACLES["ivf_ann_topk"] = """
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM vecs WHERE vec_id >= 10 ORDER BY vec_id LIMIT 8)
+),
+asg AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell)
+           AS rn
+  FROM vecs CROSS JOIN cents
+),
+ccell AS (SELECT vec_id AS neighbor_id, cell FROM asg WHERE rn = 1),
+qcell AS (SELECT vec_id AS query_id, cell FROM asg
+          WHERE rn <= 2 AND vec_id < 10),
+cand AS (
+  SELECT q.query_id, c.neighbor_id
+  FROM qcell q JOIN ccell c USING (cell)
+  WHERE c.neighbor_id <> q.query_id
 ),
 s AS (
   SELECT query_id, neighbor_id,

@@ -58,6 +58,26 @@ def q_ordering(spark, sf_dir):
     return aggregate.ordering_check(_t(spark, sf_dir))
 
 
+def q_pivot_roles(spark, sf_dir):
+    """Cross-tab via groupBy().pivot(): turns per (tool_family, role_kind)
+    as one row per tool_family with a column per role kind. Pivot values
+    are passed EXPLICITLY — without them Spark runs an extra distinct job
+    to discover them (and the output schema would be data-dependent, which
+    a 100 TB pipeline can't tolerate). Oracle = conditional-sum columns."""
+    enriched = pipeline.parsed_enriched(spark, sf_dir)
+    p = (
+        enriched.groupBy("tool_family")
+        .pivot("role_kind", ["control", "human", "agent"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "tool_family",
+        F.coalesce("control", F.lit(0)).cast("long").alias("n_control"),
+        F.coalesce("human", F.lit(0)).cast("long").alias("n_human"),
+        F.coalesce("agent", F.lit(0)).cast("long").alias("n_agent"),
+    )
+
+
 def q_dynamic_fields(spark, sf_dir):
     """P1 leftover -> _dynamic: per-conv count of unclaimed kv OCCURRENCES
     (duplicate keys counted; F.size(_dynamic) would dedup — ADVICE r01)."""
@@ -311,6 +331,18 @@ def q_lsh_ann(spark, sf_dir):
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_bucketed_topk(emb, queries, dim=dim, k=5)
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF-Flat ANN top-5 (the build brief's 'IVF variant as the scale
+    path'): deterministic seed centroids (smallest vec_ids >= 10), corpus
+    tagged with its nearest cell in one scan, queries probe their 2 nearest
+    cells, exact cosine re-rank inside probed cells. Fully oracle-checked —
+    the seed rule is ORDER BY id LIMIT n, so DuckDB reconstructs identical
+    centroids and replays assign -> probe -> join -> re-rank in SQL."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, n_cells=8, nprobe=2, k=5)
 
 
 # ----------------------------------------------------------- multimodal
@@ -801,6 +833,7 @@ SPARK_QUERIES = {
     "pipeline_agg_terms": q_agg_terms,
     "pipeline_enrich": q_enrich,
     "turn_ordering": q_ordering,
+    "pivot_role_counts": q_pivot_roles,
     "dynamic_fields": q_dynamic_fields,
     "lineage_counts": q_lineage_counts,
     "search_substring_topk": q_search_substring_topk,
@@ -828,6 +861,7 @@ SPARK_QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann_topk": q_lsh_ann,
+    "ivf_ann_topk": q_ivf_ann,
     "tpch_q1": q_tpch_q1,
     "join_topk": q_join_topk,
     "window_top_order": q_window_top_order,

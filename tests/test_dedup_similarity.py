@@ -76,6 +76,41 @@ def test_lsh_ann_recall(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_ivf_full_probe_equals_brute_force(spark):
+    # probing every cell degenerates IVF to exhaustive search: results must
+    # be IDENTICAL (ids, scores, ranks) to brute_force_topk
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    full = similarity.ivf_topk(emb, queries, n_cells=8, nprobe=8, k=5)
+    e = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in exact.collect()}
+    f = {(r.query_id, r.neighbor_id, r.cos_sim, r.rank) for r in full.collect()}
+    assert e == f
+
+
+def test_ivf_ann_recall_and_shape(spark):
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, n_cells=8, nprobe=2, k=5)
+    rows = approx.collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(e & a) / len(e)
+    # random synthetic vectors have no cluster structure, so nprobe/n_cells
+    # (= 2/8) is the floor expectation; require comfortably above chance
+    assert recall >= 0.2, f"IVF recall too low: {recall}"
+
+
 def test_brute_force_topk_shape(spark):
     emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") == 0)
