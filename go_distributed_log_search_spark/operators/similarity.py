@@ -310,7 +310,13 @@ def ivf_topk(
     _, cent_mat, cent_norms = seed_centroids(
         corpus, n_cells, id_col, vec_col, min_id=seed_min_id
     )
-    assign = ivf_cells_udf(spark, cent_mat, cent_norms, nprobe=1)
+    # asNondeterministic is an optimizer fence, not a semantics change (the
+    # UDF is pure): without it the join-key IsNotNull inferred on `cell`
+    # gets substituted through the projection and the assign matmul runs
+    # TWICE over the whole corpus (once for the filter, once for the
+    # value). Fenced, the plan is Scan -> one ArrowEvalPython -> Filter on
+    # the materialized column, and the equi-join still hash-joins.
+    assign = ivf_cells_udf(spark, cent_mat, cent_norms, nprobe=1).asNondeterministic()
     probe = ivf_cells_udf(spark, cent_mat, cent_norms, nprobe=nprobe)
 
     tagged = corpus.select(

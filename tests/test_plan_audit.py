@@ -73,5 +73,19 @@ def test_tpch_q1_filter_pushed_to_scan(spark):
     read_schema = plan.split("ReadSchema")[1][:400]
     assert "l_comment" not in read_schema, f"scan not column-pruned\n{plan}"
 
+def test_ivf_assign_runs_once_and_hash_joins(spark):
+    """The IVF cell-assign matmul must run exactly once over the corpus:
+    Spark's inferred join-key IsNotNull used to substitute through the
+    projection and evaluate the assign UDF a second time (fixed with an
+    asNondeterministic fence in ivf_topk). Exactly 3 Arrow UDF nodes —
+    assign, probe, scorer — and the candidate join stays a hash join."""
+    df = entry_mod.queries()["ivf_ann_topk"](spark, SF0001)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 3, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "NestedLoopJoin" not in tree, tree
+
+
 # (Blob-pruning for the multimodal scan is pinned in test_multimodal.py,
 # which writes real parquet so the scan's ReadSchema is observable.)
