@@ -1051,6 +1051,40 @@ SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS win_start,
 FROM events GROUP BY win_start, win_end, event_type
 """
 
+# Hopping windows: each event expands to its window/slide = 4 overlapping
+# windows. Spark's window(ts, 1h, 15m) puts an event at t into every
+# window starting at bucket15(t) - k*15min, k = 0..3 (all four satisfy
+# start <= t < start + 1h since bucket15(t) <= t < bucket15(t) + 15min).
+ORACLES["sliding_windows"] = """
+WITH ev AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+expanded AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE
+           AS win_start
+  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM expanded GROUP BY win_start, event_type
+"""
+
+# CDC compaction: latest change per user_id by (ts, event_id), tombstoned
+# keys ('error' as latest) dropped.
+ORACLES["cdc_compact"] = """
+WITH r AS (
+  SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_type, round(value, 6) AS last_value,
+       ts AS last_ts
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
 # plain inequality join — DuckDB plans an IEJoin; same semantics as the
 # Spark side's bucketed equi-join + range filter
 ORACLES["range_join"] = """

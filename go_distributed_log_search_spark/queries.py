@@ -663,6 +663,42 @@ def q_hourly_windows(spark, sf_dir):
     return windowed_counts_batch(ev, window="1 hour")
 
 
+def q_sliding_windows(spark, sf_dir):
+    """Hopping event-time windows (1h window, 15m slide): each event lands
+    in 4 overlapping windows. Completes the window family (tumbling =
+    hourly_windows, session = sessionize): the 4x fan-out happens in the
+    window() expression BEFORE partial aggregation, so the exchange still
+    carries only (win, key) partial counts. Oracle: per-event expansion to
+    its 4 slide-aligned window starts via time_bucket - k*slide."""
+    from .streaming.windowed import windowed_counts_batch
+
+    ev = _tbl(spark, sf_dir, "events")
+    return windowed_counts_batch(ev, window="1 hour", slide="15 minutes")
+
+
+def q_cdc_compact(spark, sf_dir):
+    """Upsert-stream compaction to current state: latest event per user
+    (ts, then event_id as the deterministic ordinal), with 'error' as the
+    delete tombstone — MERGE INTO semantics over an events change log.
+    One WindowGroupLimit-pruned shuffle on the key."""
+    from .operators import cdc
+
+    ev = _tbl(spark, sf_dir, "events")
+    latest = cdc.compact_latest(
+        ev.select("user_id", "event_type", "value",
+                  F.col("ts").cast("timestamp").alias("ts"), "event_id"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        delete_predicate=F.col("event_type") == "error",
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 6).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
 def q_trending_terms(spark, sf_dir):
     """Per-hour top-3 trending terms over transcript text — the classic
     log-analytics leaderboard (Splunk `timechart ... top`). Plan: explode
@@ -871,6 +907,8 @@ SPARK_QUERIES = {
     "time_rollup": q_time_rollup,
     "range_join": q_range_join,
     "hourly_windows": q_hourly_windows,
+    "sliding_windows": q_sliding_windows,
+    "cdc_compact": q_cdc_compact,
     "len_percentiles": q_len_percentiles,
     "stratified_sample": q_stratified_sample,
     "train_split": q_train_split,

@@ -73,11 +73,20 @@ def windowed_counts_batch(
     window: str = "10 minutes",
     key_col: str = "event_type",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """The batch twin (no late semantics): same window/key/count shape."""
+    """The batch twin (no late semantics): same window/key/count shape.
+
+    ``slide`` < ``window`` makes the windows HOPPING (overlapping): each
+    event lands in window/slide windows — Spark's window() expression
+    expands the row before the hash aggregate, so the fan-out stays
+    map-side (one Expand-style projection feeding partial aggregation; no
+    extra shuffle vs tumbling, the exchange carries only (win, key)
+    partial counts)."""
+    win = F.window("_ts", window, slide) if slide else F.window("_ts", window)
     return (
         df.select(F.col(ts_col).cast("timestamp").alias("_ts"), F.col(key_col))
-        .groupBy(F.window("_ts", window).alias("win"), key_col)
+        .groupBy(win.alias("win"), key_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.col("win.start").alias("win_start"),

@@ -1,0 +1,65 @@
+"""CDC compaction semantics: latest-wins, deterministic ordinal,
+tombstone delete + resurrection."""
+
+from pyspark.sql import functions as F
+
+from go_distributed_log_search_spark.operators import cdc
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, "key string, ord int, op string, val int")
+
+
+def test_latest_wins_and_tombstone_drops(spark):
+    log = _log(spark, [
+        ("a", 1, "upsert", 10),
+        ("a", 2, "upsert", 20),   # latest for a -> survives with val 20
+        ("b", 1, "upsert", 30),
+        ("b", 2, "delete", 0),    # delete is latest -> b gone
+    ])
+    out = cdc.compact_latest(
+        log, ["key"], ["ord"], delete_predicate=F.col("op") == "delete"
+    )
+    got = {(r.key, r.val) for r in out.collect()}
+    assert got == {("a", 20)}
+
+
+def test_delete_then_upsert_resurrects(spark):
+    log = _log(spark, [
+        ("a", 1, "upsert", 1),
+        ("a", 2, "delete", 0),
+        ("a", 3, "upsert", 3),    # post-delete upsert resurrects the key
+    ])
+    out = cdc.compact_latest(
+        log, ["key"], ["ord"], delete_predicate=F.col("op") == "delete"
+    )
+    assert [(r.key, r.val) for r in out.collect()] == [("a", 3)]
+
+
+def test_tie_broken_by_second_ordinal(spark):
+    # same primary ordinal: the second order column decides, deterministically
+    log = spark.createDataFrame(
+        [("a", 1, 1, 10), ("a", 1, 2, 20)],
+        "key string, ord int, seq int, val int",
+    )
+    out = cdc.compact_latest(log, ["key"], ["ord", "seq"])
+    assert [r.val for r in out.collect()] == [20]
+
+
+def test_no_delete_predicate_keeps_all_keys(spark):
+    log = _log(spark, [("a", 1, "delete", 0), ("b", 1, "upsert", 5)])
+    out = cdc.compact_latest(log, ["key"], ["ord"])
+    assert {r.key for r in out.collect()} == {"a", "b"}
+
+
+def test_sliding_window_fanout_is_window_over_slide(spark):
+    """Every event must appear in exactly window/slide = 4 hopping windows:
+    the sum of all window counts is 4x the row count."""
+    from go_distributed_log_search_spark.streaming.windowed import (
+        windowed_counts_batch,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = windowed_counts_batch(ev, window="1 hour", slide="15 minutes")
+    total = out.agg(F.sum("n")).first()[0]
+    assert total == 4 * ev.count()
