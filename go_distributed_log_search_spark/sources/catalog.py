@@ -71,7 +71,14 @@ class Warehouse:
         )
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+        """Schema-evolving read: batches may add fields over time (a field
+        added to the ingest schema later must not vanish from old-batch
+        scans). mergeSchema unions every batch's parquet schema, absent
+        columns read as NULL — the additive half of Iceberg schema
+        evolution. Footer-merging cost is a sandbox-stand-in artifact: in
+        production Iceberg resolves the current schema from table
+        metadata, not by listing data files."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path(table))
 
     def append_batch(self, df: DataFrame, table: str, batch_id: str) -> int:
         """Commit one batch into its own partition (idempotent re-run:
@@ -112,7 +119,10 @@ class Warehouse:
         src = self.path(table)
         tmp = src + ".compact.tmp"
         old = src + ".compact.old"
-        df = self.spark.read.parquet(src)
+        # mergeSchema here is load-bearing: a plain read would pick ONE
+        # file's schema and the rewrite would permanently drop columns
+        # that only later batches carry.
+        df = self.spark.read.option("mergeSchema", "true").parquet(src)
         df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
         shutil.rmtree(old, ignore_errors=True)
         os.replace(src, old)

@@ -85,6 +85,28 @@ def test_compact_preserves_data(spark, transcripts, tmp_path):
     assert _sink_state(wh) == before
 
 
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """A later batch adds a column (ingest schema evolved): reads must
+    union the schemas (old rows NULL for the new column), and compaction
+    must NOT drop the late column when it rewrites — the additive half of
+    Iceberg schema evolution on the parquet stand-in."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.append_batch(
+        spark.createDataFrame([("c1", 1)], "conv_id string, n int"), "t", "b0"
+    )
+    wh.append_batch(
+        spark.createDataFrame(
+            [("c2", 2, "eu")], "conv_id string, n int, region string"
+        ),
+        "t",
+        "b1",
+    )
+    got = {(r.conv_id, r.n, r.region) for r in wh.read("t").collect()}
+    assert got == {("c1", 1, None), ("c2", 2, "eu")}
+    wh.compact("t", target_partitions=1)
+    assert {(r.conv_id, r.n, r.region) for r in wh.read("t").collect()} == got
+
+
 def test_drop(spark, transcripts, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     microbatch.run_microbatch_ingest(spark, transcripts, wh, n_parts=4, parts_per_batch=4)
