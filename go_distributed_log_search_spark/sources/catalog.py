@@ -97,6 +97,46 @@ class Warehouse:
             .count()
         )
 
+    def commit_order(self) -> list[str]:
+        """Batch ids in commit order (lineage commit wall-time, then id as
+        the deterministic tiebreak — record_lineage_many stamps one ts per
+        batch). Driver-side collect is control-plane: one row per commit,
+        not per data row."""
+        lin = (
+            self.lineage()
+            .groupBy("batch_id")
+            .agg(F.max("committed_at").alias("_ts"))
+            .orderBy("_ts", "batch_id")
+            .collect()
+        )
+        return [r.batch_id for r in lin]
+
+    def read_as_of(self, table: str, batch_id: str) -> DataFrame:
+        """Snapshot (time-travel) read: the table as of commit
+        ``batch_id`` — every batch committed up to and including it, in
+        lineage order. The filter lands on the batch_id PARTITION column,
+        so the scan prunes to the snapshot's directories and never reads
+        later commits (Iceberg's snapshot read resolved from metadata; the
+        listing here is the parquet stand-in)."""
+        order = self.commit_order()
+        if batch_id not in order:
+            raise ValueError(f"unknown commit {batch_id!r}; committed: {order}")
+        keep = order[: order.index(batch_id) + 1]
+        return self.read(table).filter(F.col("batch_id").isin(keep))
+
+    def read_between(self, table: str, after: str | None, until: str) -> DataFrame:
+        """Incremental (CDC-style) read: rows appended by commits in
+        (``after``, ``until``] — the consume-new-data half of streaming
+        backfill. ``after=None`` means from the beginning. Same partition
+        pruning as read_as_of."""
+        order = self.commit_order()
+        lo = 0 if after is None else order.index(after) + 1
+        hi = order.index(until) + 1
+        keep = order[lo:hi]
+        if not keep:
+            return self.read(table).filter(F.lit(False))
+        return self.read(table).filter(F.col("batch_id").isin(keep))
+
     def drop(self, table: str) -> None:
         """U2 drop-index analog (drop.go:15-87): remove data files; the
         'catalog row' here is the directory itself."""

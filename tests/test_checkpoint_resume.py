@@ -107,6 +107,39 @@ def test_schema_evolution_additive_column(spark, tmp_path):
     assert {(r.conv_id, r.n, r.region) for r in wh.read("t").collect()} == got
 
 
+def test_time_travel_and_incremental_read(spark, transcripts, tmp_path):
+    """Snapshot read reconstructs the table as of each commit; incremental
+    read returns exactly the rows a commit range appended; both prune on
+    the batch_id partition (no later-commit files scanned)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    committed = microbatch.run_microbatch_ingest(
+        spark, transcripts, wh, n_parts=4, parts_per_batch=2
+    )
+    assert len(committed) == 2
+    assert wh.commit_order() == committed
+    b0, b1 = committed
+
+    full = wh.read("sink_errors")
+    snap0 = wh.read_as_of("sink_errors", b0)
+    snap1 = wh.read_as_of("sink_errors", b1)
+    assert snap0.count() == full.filter(F.col("batch_id") == b0).count()
+    assert snap1.count() == full.count()
+
+    inc = wh.read_between("sink_errors", after=b0, until=b1)
+    assert inc.count() == full.filter(F.col("batch_id") == b1).count()
+    assert wh.read_between("sink_errors", after=b1, until=b1).count() == 0
+    assert wh.read_between("sink_errors", None, b1).count() == full.count()
+
+    # the snapshot filter must reach the partition listing, not scan+filter
+    plan = snap0._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [batch_id" in plan.replace("#", " #").replace(
+        "batch_id #", "batch_id#"
+    ) or "batch_id" in plan.split("PartitionFilters")[1][:120], plan
+
+    with pytest.raises(ValueError):
+        wh.read_as_of("sink_errors", "nonexistent-commit")
+
+
 def test_drop(spark, transcripts, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     microbatch.run_microbatch_ingest(spark, transcripts, wh, n_parts=4, parts_per_batch=4)
