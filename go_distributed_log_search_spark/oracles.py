@@ -1070,6 +1070,33 @@ SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
 FROM expanded GROUP BY win_start, event_type
 """
 
+# Forward fill: error events mask the metric to NULL; the running
+# last-non-null carries the previous good value. Frame must be ROWS
+# UNBOUNDED..CURRENT in both engines.
+ORACLES["gap_fill"] = """
+SELECT user_id, event_id,
+       round(last_value(CASE WHEN event_type <> 'error' THEN value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS filled_value
+FROM events
+"""
+
+ORACLES["ntile_quartiles"] = """
+WITH q AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS quartile
+  FROM events
+)
+SELECT event_type, CAST(quartile AS INT) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
+FROM q GROUP BY event_type, quartile
+"""
+
 # CDC compaction: latest change per user_id by (ts, event_id), tombstoned
 # keys ('error' as latest) dropped.
 ORACLES["cdc_compact"] = """

@@ -663,6 +663,47 @@ def q_hourly_windows(spark, sf_dir):
     return windowed_counts_batch(ev, window="1 hour")
 
 
+def q_gap_fill(spark, sf_dir):
+    """Forward fill (gap fill) — the telemetry staple the reference's
+    append-only model never needs: error events 'drop' the metric (value
+    masked to NULL) and each gap carries the last known good value
+    forward per user in event-time order. One window pass with
+    last(ignorenulls) over ROWS UNBOUNDED PRECEDING..CURRENT; the frame
+    is running, so Spark evaluates it in one sorted sweep per key — no
+    per-row rescans. Oracle: last_value(... IGNORE NULLS) with the same
+    frame."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.last(good, ignorenulls=True).over(w), 6).alias("filled_value"),
+    )
+
+
+def q_ntile_quartiles(spark, sf_dir):
+    """Quartile bucketing via ntile(4) per event_type (value, then
+    event_id as the deterministic tiebreak), summarized per bucket. Both
+    engines implement ANSI ntile (first count%n groups take the extra
+    row), so identical ordering gives identical buckets."""
+    ev = _tbl(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
 def q_sliding_windows(spark, sf_dir):
     """Hopping event-time windows (1h window, 15m slide): each event lands
     in 4 overlapping windows. Completes the window family (tumbling =
@@ -909,6 +950,8 @@ SPARK_QUERIES = {
     "hourly_windows": q_hourly_windows,
     "sliding_windows": q_sliding_windows,
     "cdc_compact": q_cdc_compact,
+    "gap_fill": q_gap_fill,
+    "ntile_quartiles": q_ntile_quartiles,
     "len_percentiles": q_len_percentiles,
     "stratified_sample": q_stratified_sample,
     "train_split": q_train_split,

@@ -52,6 +52,34 @@ def test_no_delete_predicate_keeps_all_keys(spark):
     assert {r.key for r in out.collect()} == {"a", "b"}
 
 
+def test_gap_fill_semantics(spark):
+    """Forward fill carries the last good value through gaps; a leading
+    gap (no prior good value) stays NULL; fills never cross users."""
+    from go_distributed_log_search_spark.queries import q_gap_fill
+    import os, tempfile
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view", 5.0),
+        (1, 2, "2024-01-01 10:01:00", "error", 99.0),   # masked -> carries 5.0
+        (1, 3, "2024-01-01 10:02:00", "click", 7.0),
+        (2, 4, "2024-01-01 10:00:00", "error", 1.0),    # leading gap -> NULL
+        (2, 5, "2024-01-01 10:01:00", "view", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s string, event_type string, value double"
+    ).select("user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "event_type", "value", F.lit("{}").alias("props"))
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {(r.user_id, r.event_id): r.filled_value
+               for r in q_gap_fill(spark, d).collect()}
+    assert out[(1, 1)] == 5.0
+    assert out[(1, 2)] == 5.0          # gap filled from the previous good row
+    assert out[(1, 3)] == 7.0
+    assert out[(2, 4)] is None         # leading gap: nothing to carry
+    assert out[(2, 5)] == 3.0          # and user 1's values never leak over
+
+
 def test_sliding_window_fanout_is_window_over_slide(spark):
     """Every event must appear in exactly window/slide = 4 hopping windows:
     the sum of all window counts is 4x the row count."""
