@@ -1070,6 +1070,14 @@ SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
 FROM expanded GROUP BY win_start, event_type
 """
 
+# Geometric mean: the UDAF's closed form. ln/exp in float64 in both
+# engines; round(6) absorbs summation-order noise.
+ORACLES["geomean_udaf"] = """
+SELECT event_type,
+       round(exp(avg(ln(abs(value) + 1))), 6) AS geomean_value
+FROM events GROUP BY event_type
+"""
+
 # Forward fill: error events mask the metric to NULL; the running
 # last-non-null carries the previous good value. Frame must be ROWS
 # UNBOUNDED..CURRENT in both engines.

@@ -663,6 +663,25 @@ def q_hourly_windows(spark, sf_dir):
     return windowed_counts_batch(ev, window="1 hour")
 
 
+def q_geomean_udaf(spark, sf_dir):
+    """Vectorized UDAF (GROUPED_AGG pandas_udf) — the §2.10 aggregate
+    member: per-event-type geometric mean of |value|+1, computed as one
+    Arrow batch per group. KNOWN SCALE TRADE-OFF, by design: grouped-agg
+    pandas UDFs get no partial aggregation (raw rows shuffle to the
+    group's reducer), so at 100 TB the equivalent Catalyst composition
+    exp(avg(ln(|v|+1))) — which partial-aggregates map-side — is the hot
+    path; tests pin the two equal, and the oracle replays the Catalyst
+    form. The UDAF exists for aggregates with no built-in decomposition."""
+    from .functions.udaf import geomean_plus1
+
+    ev = _tbl(spark, sf_dir, "events")
+    # grouped-agg pandas UDFs cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — single-column result by constraint
+    return ev.groupBy("event_type").agg(
+        F.round(geomean_plus1("value"), 6).alias("geomean_value"),
+    )
+
+
 def q_gap_fill(spark, sf_dir):
     """Forward fill (gap fill) — the telemetry staple the reference's
     append-only model never needs: error events 'drop' the metric (value
@@ -952,6 +971,7 @@ SPARK_QUERIES = {
     "cdc_compact": q_cdc_compact,
     "gap_fill": q_gap_fill,
     "ntile_quartiles": q_ntile_quartiles,
+    "geomean_udaf": q_geomean_udaf,
     "len_percentiles": q_len_percentiles,
     "stratified_sample": q_stratified_sample,
     "train_split": q_train_split,

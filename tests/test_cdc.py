@@ -80,6 +80,27 @@ def test_gap_fill_semantics(spark):
     assert out[(2, 5)] == 3.0          # and user 1's values never leak over
 
 
+def test_geomean_udaf_equals_catalyst_decomposition(spark):
+    """The grouped-agg pandas UDAF must equal exp(avg(ln(|v|+1))) — the
+    partial-aggregating Catalyst form that is the documented hot path."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from go_distributed_log_search_spark.functions.udaf import geomean_plus1
+
+    udaf = {
+        r.event_type: r.g
+        for r in ev.groupBy("event_type")
+        .agg(F.round(geomean_plus1("value"), 6).alias("g"))
+        .collect()
+    }
+    builtin = {
+        r.event_type: r.g
+        for r in ev.groupBy("event_type")
+        .agg(F.round(F.exp(F.avg(F.ln(F.abs(F.col("value")) + 1))), 6).alias("g"))
+        .collect()
+    }
+    assert udaf == builtin
+
+
 def test_sliding_window_fanout_is_window_over_slide(spark):
     """Every event must appear in exactly window/slide = 4 hopping windows:
     the sum of all window counts is 4x the row count."""
