@@ -1070,6 +1070,38 @@ SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
 FROM expanded GROUP BY win_start, event_type
 """
 
+# Term co-occurrence: doc self-join with tok < tok == the Spark side's
+# sorted-array pair expansion; same default-tokenizer split as bm25.
+ORACLES["cooccurrence"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')))
+           AS tok
+  FROM documents
+)
+SELECT x.tok AS a, y.tok AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.tok < y.tok
+GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 20
+"""
+
+# 7-day moving average over a RANGE frame keyed on epoch seconds (same
+# numeric order key as Spark's rangeBetween).
+ORACLES["moving_avg"] = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, n,
+       round(avg(n) OVER (
+         PARTITION BY event_type
+         ORDER BY CAST(floor(epoch(day)) AS BIGINT)
+         RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 6) AS avg_7d
+FROM daily
+"""
+
 # Geometric mean: the UDAF's closed form. ln/exp in float64 in both
 # engines; round(6) absorbs summation-order noise.
 ORACLES["geomean_udaf"] = """

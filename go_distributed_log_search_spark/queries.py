@@ -663,6 +663,70 @@ def q_hourly_windows(spark, sf_dir):
     return windowed_counts_batch(ev, window="1 hour")
 
 
+def q_cooccurrence(spark, sf_dir):
+    """Top-20 term co-occurrence pairs across documents (collocation/PMI
+    prep). The pair fan-out happens MAP-SIDE in one HOF expression over
+    the sorted distinct-token array (transform-with-index x slice), so
+    there is no self-join: the only shuffle carries (a, b) partial
+    counts, and top-20 compiles to TakeOrderedAndProject. Per-doc cost is
+    O(v^2) in distinct vocabulary — at corpus scale cap v (length filter
+    or top-TF tokens per doc) before pairing; the synthetic docs are
+    short so no cap is needed here. Oracle: doc self-join with tok<tok —
+    equivalent to sorted-array pair expansion."""
+    from .functions.tokenize import tokenize
+
+    docs = _docs(spark, sf_dir)
+    toks = F.array_sort(F.array_distinct(tokenize(F.col("text"), "default")))
+    pairs = F.flatten(
+        F.transform(
+            toks,
+            lambda x, i: F.transform(
+                F.slice(toks, i + F.lit(2), F.size(toks)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+def q_moving_avg(spark, sf_dir):
+    """7-day moving average of daily event counts per type — a RANGE
+    window frame (every other window here is ROWS/growing): the frame is
+    defined by the ORDER-BY VALUE distance (6 days back in epoch
+    seconds), not row offsets, so days missing from the data simply
+    shrink the frame instead of silently widening it the way a ROWS 7
+    PRECEDING frame would. Spark's rangeBetween needs a numeric order
+    key; both engines order by epoch-day seconds."""
+    ev = _tbl(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    day_sec = F.unix_timestamp("day")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(day_sec)
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.avg("n").over(w), 6).alias("avg_7d"),
+    )
+
+
 def q_geomean_udaf(spark, sf_dir):
     """Vectorized UDAF (GROUPED_AGG pandas_udf) — the §2.10 aggregate
     member: per-event-type geometric mean of |value|+1, computed as one
@@ -972,6 +1036,8 @@ SPARK_QUERIES = {
     "gap_fill": q_gap_fill,
     "ntile_quartiles": q_ntile_quartiles,
     "geomean_udaf": q_geomean_udaf,
+    "moving_avg": q_moving_avg,
+    "cooccurrence": q_cooccurrence,
     "len_percentiles": q_len_percentiles,
     "stratified_sample": q_stratified_sample,
     "train_split": q_train_split,
