@@ -1070,6 +1070,24 @@ SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
 FROM expanded GROUP BY win_start, event_type
 """
 
+# Burst alert: hourly parsed-ERROR counts, lag ratio >= 2 (gap hours
+# simply absent from the timeline in both engines).
+ORACLES["error_burst"] = f"""WITH_PRELUDE,{_PARSED},
+hourly AS (
+  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_errors
+  FROM parsed WHERE level = 'ERROR' GROUP BY hour
+),
+l AS (
+  SELECT hour, n_errors,
+         lag(n_errors) OVER (ORDER BY hour) AS prev_n
+  FROM hourly
+)
+SELECT hour, n_errors, prev_n,
+       round(CAST(n_errors AS DOUBLE) / prev_n, 4) AS ratio
+FROM l WHERE prev_n IS NOT NULL AND n_errors >= 2 * prev_n
+"""
+
 # Term co-occurrence: doc self-join with tok < tok == the Spark side's
 # sorted-array pair expansion; same default-tokenizer split as bm25.
 ORACLES["cooccurrence"] = """

@@ -663,6 +663,32 @@ def q_hourly_windows(spark, sf_dir):
     return windowed_counts_batch(ev, window="1 hour")
 
 
+def q_error_burst(spark, sf_dir):
+    """Burst alerting — the log-analytics alert rule (Splunk alert /
+    Grafana threshold): hours whose parsed-ERROR count is >= 2x the
+    previous hour's. The ordering window has no partition key by nature
+    (one global timeline), but its INPUT is the per-hour aggregate — one
+    row per calendar hour regardless of data volume — so the single-task
+    window is bounded by time span, not corpus size (unlike the r02
+    detect_hot_keys global window over data-sized input, since fixed)."""
+    parsed = parse.parse_turns(_t(spark, sf_dir), dynamic=False)
+    hourly = (
+        parsed.filter(F.col("level") == "ERROR")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    w = W.orderBy("hour")
+    lagged = hourly.withColumn("prev_n", F.lag("n_errors").over(w))
+    return lagged.filter(
+        F.col("prev_n").isNotNull() & (F.col("n_errors") >= 2 * F.col("prev_n"))
+    ).select(
+        "hour",
+        "n_errors",
+        "prev_n",
+        F.round(F.col("n_errors") / F.col("prev_n"), 4).alias("ratio"),
+    )
+
+
 def q_cooccurrence(spark, sf_dir):
     """Top-20 term co-occurrence pairs across documents (collocation/PMI
     prep). The pair fan-out happens MAP-SIDE in one HOF expression over
@@ -1038,6 +1064,7 @@ SPARK_QUERIES = {
     "geomean_udaf": q_geomean_udaf,
     "moving_avg": q_moving_avg,
     "cooccurrence": q_cooccurrence,
+    "error_burst": q_error_burst,
     "len_percentiles": q_len_percentiles,
     "stratified_sample": q_stratified_sample,
     "train_split": q_train_split,
