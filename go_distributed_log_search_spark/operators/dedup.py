@@ -402,6 +402,21 @@ def dedup_clusters(
     )
 
 
+def bloom_positions(h, k: int, m_bits: int):
+    """Pure Kirsch-Mitzenmacher double-hash kernel: k bit positions per
+    64-bit fingerprint hash (h_i = h1 + i*h2 mod m). Module-level so the
+    bloom's no-false-negative guarantee is property-testable without
+    Spark (tests/test_properties.py); incremental_dedup builds/probes
+    with exactly this function."""
+    import numpy as np
+
+    h1 = h.astype(np.uint64)
+    h2 = (h1 >> np.uint64(33)) | (h1 << np.uint64(31))  # rotate, odd mix
+    h2 = h2 * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).ravel()
+
+
 def incremental_dedup(
     corpus: DataFrame,
     batch: DataFrame,
@@ -445,11 +460,7 @@ def incremental_dedup(
     k = max(int(round(m_bits / n_items * math.log(2))), 1)
 
     def _positions(h: "np.ndarray") -> "np.ndarray":
-        h1 = h.astype(np.uint64)
-        h2 = (h1 >> np.uint64(33)) | (h1 << np.uint64(31))  # rotate, odd mix
-        h2 = h2 * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
-        i = np.arange(k, dtype=np.uint64)[:, None]
-        return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).ravel()
+        return bloom_positions(h, k, m_bits)
 
     def _build(batches):
         bits = np.zeros(m_bits // 8, dtype=np.uint8)

@@ -29,6 +29,25 @@ from pyspark.sql import functions as F
 from .textstats import ws_token_count_expr
 
 
+def next_fit_assign(tokens, budget: int) -> list[int]:
+    """Pure next-fit kernel: pack id per item, in order. A new pack opens
+    when the running sum would exceed ``budget``; an item larger than the
+    budget gets a pack of its own. Module-level so the invariants are
+    property-testable without Spark (tests/test_packing.py)."""
+    packs = []
+    pack, acc, first = 0, 0, True
+    for v in tokens:
+        if first:
+            acc, first = v, False
+        elif acc + v > budget:
+            pack += 1
+            acc = v
+        else:
+            acc += v
+        packs.append(pack)
+    return packs
+
+
 def pack_sequences(
     df: DataFrame,
     group_col: str = "source",
@@ -57,20 +76,9 @@ def pack_sequences(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        t = pdf["n_tokens"].to_numpy()
-        packs = []
-        pack, acc, first = 0, 0, True
-        for v in t:  # per-GROUP python loop over a numpy array — the
-            # group is a bounded shard, not the corpus; the per-element
-            # work is two integer ops (no pandas/Spark calls inside)
-            if first:
-                acc, first = v, False
-            elif acc + v > budget:
-                pack += 1
-                acc = v
-            else:
-                acc += v
-            packs.append(pack)
+        # per-GROUP python loop over a numpy array — the group is a
+        # bounded shard, not the corpus; two integer ops per element
+        packs = next_fit_assign(pdf["n_tokens"].to_numpy(), budget)
         pdf["pack_id"] = pd.Series(packs, dtype="int32")
         pdf["n_tokens"] = pdf["n_tokens"].astype("int32")
         return pdf[[group_col, id_col, "n_tokens", "pack_id"]]
