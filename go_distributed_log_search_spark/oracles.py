@@ -1070,6 +1070,26 @@ SELECT win_start, win_start + INTERVAL 1 HOUR AS win_end, event_type,
 FROM expanded GROUP BY win_start, event_type
 """
 
+# Multiline assembly: record id = running sum of non-continuation flags
+# per conv; per-record md5 over turn-ordered lines.
+ORACLES["multiline_assembly"] = """WITH_PRELUDE,
+m AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN text LIKE '<tool:%' THEN 0 ELSE 1 END AS is_start
+  FROM transcripts
+),
+r AS (
+  SELECT conv_id, turn_idx, text,
+         CAST(SUM(is_start) OVER (PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS record_id
+  FROM m
+)
+SELECT conv_id, record_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS record_md5
+FROM r GROUP BY conv_id, record_id
+"""
+
 # Burst alert: hourly parsed-ERROR counts, lag ratio >= 2 (gap hours
 # simply absent from the timeline in both engines).
 ORACLES["error_burst"] = f"""WITH_PRELUDE,{_PARSED},

@@ -663,6 +663,39 @@ def q_hourly_windows(spark, sf_dir):
     return windowed_counts_batch(ev, window="1 hour")
 
 
+def q_multiline_assembly(spark, sf_dir):
+    """Multiline record assembly — the Filebeat/Vector 'multiline' log
+    operator: continuation lines (here: tool-marker turns) attach to the
+    record opened by the last non-continuation line. Boundary detection
+    is a running SUM of start flags over one per-conv window pass (record
+    id = cumulative starts; a leading continuation run lands in record 0,
+    a headerless record, kept). Assembly then groups on (conv, record)
+    with the same JVM-side sort_array+md5 shape as conv_assembly."""
+    t = _t(spark, sf_dir)
+    start = (~F.col("text").startswith("<tool:")).cast("int")
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    recs = t.withColumn("record_id", F.sum(start).over(w).cast("int"))
+    return (
+        recs.groupBy("conv_id", "record_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                        lambda s: s["text"],
+                    ),
+                    "\n",
+                )
+            ).alias("record_md5"),
+        )
+    )
+
+
 def q_error_burst(spark, sf_dir):
     """Burst alerting — the log-analytics alert rule (Splunk alert /
     Grafana threshold): hours whose parsed-ERROR count is >= 2x the
@@ -1065,6 +1098,7 @@ SPARK_QUERIES = {
     "moving_avg": q_moving_avg,
     "cooccurrence": q_cooccurrence,
     "error_burst": q_error_burst,
+    "multiline_assembly": q_multiline_assembly,
     "len_percentiles": q_len_percentiles,
     "stratified_sample": q_stratified_sample,
     "train_split": q_train_split,
