@@ -1090,6 +1090,32 @@ SELECT conv_id, record_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
 FROM r GROUP BY conv_id, record_id
 """
 
+# PMI collocations: pair doc-frequencies (tok<tok self-join form) joined
+# with per-token doc-frequencies; ln(df_ab*N/(df_a*df_b)), support >= 5.
+ORACLES["pmi_collocations"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')))
+           AS tok
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+tok_df AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok),
+pair_df AS (
+  SELECT x.tok AS a, y.tok AS b, CAST(COUNT(*) AS BIGINT) AS df_ab
+  FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY a, b HAVING COUNT(*) >= 5
+)
+SELECT a, b, df_ab,
+       round(ln(df_ab * n_docs / (da.df * db.df)), 6) AS pmi
+FROM pair_df
+JOIN tok_df da ON da.tok = a
+JOIN tok_df db ON db.tok = b
+CROSS JOIN n
+ORDER BY pmi DESC, a, b LIMIT 20
+"""
+
 # Burst alert: hourly parsed-ERROR counts, lag ratio >= 2 (gap hours
 # simply absent from the timeline in both engines).
 ORACLES["error_burst"] = f"""WITH_PRELUDE,{_PARSED},

@@ -696,6 +696,58 @@ def q_multiline_assembly(spark, sf_dir):
     )
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 collocations by document-level PMI:
+    pmi(a,b) = ln(df_ab * N / (df_a * df_b)), support df_ab >= 5. The
+    pair side reuses the map-side HOF expansion (no self-join); token
+    document frequencies join onto it twice — both joins broadcast, the
+    token-df table is vocabulary-sized, not corpus-sized. The classic
+    collocation measure over the cleaned-corpus tokens."""
+    from .functions.tokenize import tokenize
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # scalar, control-plane (avoids the Spark 4.1
+    # local-mode scalar-subquery stall documented in transcripts.py)
+    toks = F.array_sort(F.array_distinct(tokenize(F.col("text"), "default")))
+    tok_df = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    pairs_arr = F.flatten(
+        F.transform(
+            toks,
+            lambda x, i: F.transform(
+                F.slice(toks, i + F.lit(2), F.size(toks)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pair_df = (
+        docs.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("df_ab"))
+        .filter(F.col("df_ab") >= 5)
+    )
+    dfa = tok_df.select(F.col("tok").alias("a"), F.col("df").alias("df_a"))
+    dfb = tok_df.select(F.col("tok").alias("b"), F.col("df").alias("df_b"))
+    scored = (
+        pair_df.join(F.broadcast(dfa), "a")
+        .join(F.broadcast(dfb), "b")
+        .select(
+            "a",
+            "b",
+            "df_ab",
+            F.round(
+                F.log(F.col("df_ab") * F.lit(float(n_docs)) / (F.col("df_a") * F.col("df_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(20)
+
+
 def q_error_burst(spark, sf_dir):
     """Burst alerting — the log-analytics alert rule (Splunk alert /
     Grafana threshold): hours whose parsed-ERROR count is >= 2x the
@@ -1099,6 +1151,7 @@ SPARK_QUERIES = {
     "cooccurrence": q_cooccurrence,
     "error_burst": q_error_burst,
     "multiline_assembly": q_multiline_assembly,
+    "pmi_collocations": q_pmi_collocations,
     "len_percentiles": q_len_percentiles,
     "stratified_sample": q_stratified_sample,
     "train_split": q_train_split,
