@@ -1090,6 +1090,20 @@ SELECT conv_id, record_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
 FROM r GROUP BY conv_id, record_id
 """
 
+# Skew-safe join: the oracle is the PLAIN join — the hot/cold split must
+# be plan-only, never visible in results.
+ORACLES["skew_join"] = """WITH_PRELUDE,
+cd AS (SELECT conv_id, COUNT(*) AS conv_turns FROM transcripts GROUP BY conv_id)
+SELECT role,
+       CASE WHEN conv_turns >= 100 THEN 'large'
+            WHEN conv_turns >= 10 THEN 'medium'
+            ELSE 'small' END AS size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT t.conv_id) AS BIGINT) AS n_convs
+FROM transcripts t JOIN cd ON t.conv_id = cd.conv_id
+GROUP BY role, size_bucket
+"""
+
 # PMI collocations: pair doc-frequencies (tok<tok self-join form) joined
 # with per-token doc-frequencies; ln(df_ab*N/(df_a*df_b)), support >= 5.
 ORACLES["pmi_collocations"] = """

@@ -696,6 +696,37 @@ def q_multiline_assembly(spark, sf_dir):
     )
 
 
+def q_skew_join(spark, sf_dir):
+    """Skew-safe fact-to-fact-sized-dim join on the corpus's engineered
+    Zipf key: per-conversation metadata (turn counts) joined back onto
+    turns. conv-hot-0/1 own ~40% of all turns, so a plain hash join puts
+    40% of the corpus through two reducers; skew_safe_join routes the hot
+    keys through a broadcast branch (the known hot list here — detected
+    via detect_hot_keys in production) and hash-joins the balanced
+    remainder. Summary: turns per (role, conversation-size bucket).
+    Oracle = a plain join, pinning that the split changes the plan, not
+    the result."""
+    from .operators import enrich
+
+    t = _t(spark, sf_dir)
+    conv_dim = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("conv_turns"))
+    joined = enrich.skew_safe_join(
+        t.select("conv_id", "role"),
+        conv_dim,
+        "conv_id",
+        hot_keys=["conv-hot-0", "conv-hot-1"],
+    )
+    bucket = (
+        F.when(F.col("conv_turns") >= 100, "large")
+        .when(F.col("conv_turns") >= 10, "medium")
+        .otherwise("small")
+    )
+    return joined.groupBy("role", bucket.alias("size_bucket")).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Top-20 collocations by document-level PMI:
     pmi(a,b) = ln(df_ab * N / (df_a * df_b)), support df_ab >= 5. The
@@ -1152,6 +1183,7 @@ SPARK_QUERIES = {
     "error_burst": q_error_burst,
     "multiline_assembly": q_multiline_assembly,
     "pmi_collocations": q_pmi_collocations,
+    "skew_join": q_skew_join,
     "len_percentiles": q_len_percentiles,
     "stratified_sample": q_stratified_sample,
     "train_split": q_train_split,

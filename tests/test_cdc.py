@@ -80,6 +80,51 @@ def test_gap_fill_semantics(spark):
     assert out[(2, 5)] == 3.0          # and user 1's values never leak over
 
 
+def test_skew_safe_join_equals_plain_join(spark):
+    """The hot/cold split must be invisible in results for inner and left
+    joins, including NULL keys (cold branch) and an empty hot list."""
+    from go_distributed_log_search_spark.operators.enrich import skew_safe_join
+
+    fact = spark.createDataFrame(
+        [("h", 1), ("h", 2), ("h", 3), ("c", 4), ("d", 5), (None, 6), ("x", 7)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("h", "hot"), ("c", "cold"), ("d", "cold2")], "k string, label string"
+    )
+    for how in ("inner", "left"):
+        plain = {(r.k, r.v, r.label) for r in fact.join(dim, "k", how).collect()}
+        split = {
+            (r.k, r.v, r.label)
+            for r in skew_safe_join(fact, dim, "k", ["h"], how=how).collect()
+        }
+        assert split == plain, how
+        empty = {
+            (r.k, r.v, r.label)
+            for r in skew_safe_join(fact, dim, "k", [], how=how).collect()
+        }
+        assert empty == plain, how
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        skew_safe_join(fact, dim, "k", ["h"], how="full")
+
+
+def test_skew_safe_join_hot_branch_broadcasts(spark):
+    from go_distributed_log_search_spark.operators.enrich import skew_safe_join
+
+    fact = spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = fact.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    j = skew_safe_join(fact, dim, "k", ["hot"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_geomean_udaf_equals_catalyst_decomposition(spark):
     """The grouped-agg pandas UDAF must equal exp(avg(ln(|v|+1))) — the
     partial-aggregating Catalyst form that is the documented hot path."""
