@@ -103,6 +103,33 @@ SELECT tool_family,
 FROM joined GROUP BY tool_family
 """
 
+# Unpivot: melt the pivot cross-tab back to long form — zero cells kept
+# (they are columns in the wide form), hence pivot-then-union, not a
+# plain group-by.
+ORACLES["unpivot_roles"] = """WITH_PRELUDE,
+joined AS (
+  SELECT r.role_kind, tl.tool_family
+  FROM transcripts t
+  LEFT JOIN dim_roles r ON t.role = r.role
+  LEFT JOIN dim_tools tl ON t.tool = tl.tool
+),
+wide AS (
+  SELECT tool_family,
+    CAST(SUM(CASE WHEN role_kind = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_control,
+    CAST(SUM(CASE WHEN role_kind = 'human' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_human,
+    CAST(SUM(CASE WHEN role_kind = 'agent' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_agent
+  FROM joined GROUP BY tool_family
+)
+SELECT tool_family, 'control' AS role_kind, n_control AS n FROM wide
+UNION ALL
+SELECT tool_family, 'human', n_human FROM wide
+UNION ALL
+SELECT tool_family, 'agent', n_agent FROM wide
+"""
+
 ORACLES["turn_ordering"] = """WITH_PRELUDE,
 rn AS (
   SELECT conv_id, turn_idx,

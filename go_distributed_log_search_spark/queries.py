@@ -78,6 +78,23 @@ def q_pivot_roles(spark, sf_dir):
     )
 
 
+def q_unpivot_roles(spark, sf_dir):
+    """Unpivot (melt) — the inverse reshape of pivot_role_counts via the
+    stack() generator: the wide (tool_family, n_control, n_human,
+    n_agent) cross-tab back to long (tool_family, role_kind, n), zero
+    cells included (they exist as columns in the wide form, so the melt
+    preserves them — a plain group-by would not). stack expands map-side;
+    no shuffle beyond the pivot's own."""
+    wide = q_pivot_roles(spark, sf_dir)
+    return wide.select(
+        "tool_family",
+        F.expr(
+            "stack(3, 'control', n_control, 'human', n_human, "
+            "'agent', n_agent) AS (role_kind, n)"
+        ),
+    )
+
+
 def q_dynamic_fields(spark, sf_dir):
     """P1 leftover -> _dynamic: per-conv count of unclaimed kv OCCURRENCES
     (duplicate keys counted; F.size(_dynamic) would dedup — ADVICE r01)."""
@@ -1136,6 +1153,7 @@ SPARK_QUERIES = {
     "pipeline_enrich": q_enrich,
     "turn_ordering": q_ordering,
     "pivot_role_counts": q_pivot_roles,
+    "unpivot_roles": q_unpivot_roles,
     "dynamic_fields": q_dynamic_fields,
     "lineage_counts": q_lineage_counts,
     "search_substring_topk": q_search_substring_topk,
