@@ -75,6 +75,43 @@ def attribution_join_stream(
     return q
 
 
+def attribution_join_stream_to_parquet(
+    spark: SparkSession,
+    clicks_path: str,
+    buys_path: str,
+    checkpoint: str,
+    out_path: str,
+    watermark: str = "10 minutes",
+    horizon: str = "30 minutes",
+):
+    """Same streaming join into a PARQUET sink — the restartable form.
+
+    availableNow drains whatever is currently present, then stops; a
+    later call with the SAME checkpoint resumes from the recovered join
+    state (buffered unmatched rows included) and appends only NEW
+    matches — the exactly-once-across-restarts property the memory-sink
+    variant cannot show (memory sinks reset per query).
+    """
+    clicks = (
+        spark.readStream.schema(CLICKS_SCHEMA).parquet(clicks_path)
+        .withWatermark("ts", watermark)
+    )
+    buys = (
+        spark.readStream.schema(BUYS_SCHEMA).parquet(buys_path)
+        .withWatermark("ts", watermark)
+    )
+    q = (
+        _join(clicks, buys, horizon)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
+
+
 def attribution_join_batch(
     clicks: DataFrame, buys: DataFrame, horizon: str = "30 minutes"
 ) -> DataFrame:

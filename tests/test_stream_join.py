@@ -58,3 +58,31 @@ def test_stream_matches_batch_and_horizon(spark, tmp_path):
            for p in (prog.get("stateOperators") or [])]
     assert any("symmetricHashJoin" in (op.get("operatorName") or "")
                for op in ops), ops
+
+
+def test_stream_join_restart_resumes_state_exactly_once(spark, tmp_path):
+    """A restarted run with the same checkpoint must (a) not re-emit
+    matches from the first run, and (b) match a NEW buy against a click
+    whose row arrived BEFORE the restart — i.e. buffered join state is
+    recovered, not rebuilt from scratch or leaked into duplicates."""
+    clicks_p = str(tmp_path / "clicks")
+    buys_p = str(tmp_path / "buys")
+    out_p = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write(spark, clicks_p, "click_id", [(1, 11, "2024-01-01 10:00:00")])
+    _write(spark, buys_p, "buy_id", [(1, 21, "2024-01-01 10:05:00")])
+    joins.attribution_join_stream_to_parquet(spark, clicks_p, buys_p, ckpt, out_p)
+    first = {(r.user_id, r.click_id, r.buy_id)
+             for r in spark.read.parquet(out_p).collect()}
+    assert first == {(1, 11, 21)}
+
+    # restart: one new in-horizon buy for the PRE-RESTART click
+    _write(spark, buys_p, "buy_id", [(1, 22, "2024-01-01 10:10:00")])
+    joins.attribution_join_stream_to_parquet(spark, clicks_p, buys_p, ckpt, out_p)
+    got = sorted(
+        (r.user_id, r.click_id, r.buy_id)
+        for r in spark.read.parquet(out_p).collect()
+    )
+    # (1,11,21) exactly once (no replay), (1,11,22) from recovered state
+    assert got == [(1, 11, 21), (1, 11, 22)]
