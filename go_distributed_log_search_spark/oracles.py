@@ -1190,6 +1190,52 @@ FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.tok < y.tok
 GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 20
 """
 
+# Funnel: chained stage mins (each conditioned on the previous stage's
+# timestamp) via joins — equivalent to the Spark side's chained window
+# mins (ts > NULL is never true, so missing stages propagate).
+ORACLES["funnel"] = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM e GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN(e.ts) AS t_view
+  FROM e JOIN u USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > u.t_signup
+  GROUP BY e.user_id
+),
+b AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy
+  FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id
+)
+SELECT '1_signup' AS stage,
+       CAST((SELECT COUNT(*) FROM u WHERE t_signup IS NOT NULL) AS BIGINT)
+         AS n_users
+UNION ALL
+SELECT '2_signup_view', CAST((SELECT COUNT(*) FROM v) AS BIGINT)
+UNION ALL
+SELECT '3_signup_view_purchase', CAST((SELECT COUNT(*) FROM b) AS BIGINT)
+"""
+
+# Z-score outliers: per-type population stats, |v - mu| > 2 sigma.
+ORACLES["zscore_outliers"] = """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+       round(MIN(e.value), 6) AS min_out, round(MAX(e.value), 6) AS max_out
+FROM events e JOIN s ON e.event_type = s.event_type
+WHERE abs(e.value - s.mu) > 2 * s.sigma
+GROUP BY e.event_type
+"""
+
 # 7-day moving average over a RANGE frame keyed on epoch seconds (same
 # numeric order key as Spark's rangeBetween).
 ORACLES["moving_avg"] = """

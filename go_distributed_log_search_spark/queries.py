@@ -855,6 +855,77 @@ def q_cooccurrence(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Funnel analysis — the event-analytics staple: per user, a signup,
+    then a view AFTER it, then a purchase AFTER that. Three chained
+    per-user window mins (each stage's earliest qualifying ts references
+    the previous stage's) share ONE hash exchange on user_id — no joins;
+    then one per-user aggregate and a stack() to the long (stage,
+    n_users) funnel. Entirely declarative: no driver-side counting."""
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = W.partitionBy("user_id")
+    e = ev.withColumn(
+        "t_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    )
+    e = e.withColumn(
+        "t_view",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("ts") > F.col("t_signup")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t_buy",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.first("t_signup").alias("t_signup"),
+        F.first("t_view").alias("t_view"),
+        F.first("t_buy").alias("t_buy"),
+    )
+    wide = per_user.agg(
+        F.count("t_signup").alias("n1"),
+        F.count("t_view").alias("n2"),
+        F.count("t_buy").alias("n3"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(3, '1_signup', n1, '2_signup_view', n2, "
+            "'3_signup_view_purchase', n3) AS (stage, n_users)"
+        )
+    )
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """Statistical QC: events whose value is > 2 population standard
+    deviations from their event type's mean. Stats are a result-sized
+    aggregate broadcast back onto the scan — one pass for stats, one
+    scan for the filter; the count summary keeps the output bounded."""
+    ev = _tbl(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    flagged = (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma"))
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.round(F.min("value"), 6).alias("min_out"),
+        F.round(F.max("value"), 6).alias("max_out"),
+    )
+
+
 def q_moving_avg(spark, sf_dir):
     """7-day moving average of daily event counts per type — a RANGE
     window frame (every other window here is ROWS/growing): the frame is
@@ -1197,6 +1268,8 @@ SPARK_QUERIES = {
     "ntile_quartiles": q_ntile_quartiles,
     "geomean_udaf": q_geomean_udaf,
     "moving_avg": q_moving_avg,
+    "funnel": q_funnel,
+    "zscore_outliers": q_zscore_outliers,
     "cooccurrence": q_cooccurrence,
     "error_burst": q_error_burst,
     "multiline_assembly": q_multiline_assembly,
