@@ -1223,6 +1223,27 @@ UNION ALL
 SELECT '3_signup_view_purchase', CAST((SELECT COUNT(*) FROM b) AS BIGINT)
 """
 
+# Retention cohorts: signup-week cohort x weeks-since distinct actives.
+ORACLES["retention"] = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+c AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM e WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(floor(date_diff('day', cohort_week,
+              CAST(date_trunc('week', e.ts) AS TIMESTAMP)) / 7) AS INT)
+         AS weeks_since,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM e JOIN c USING (user_id)
+WHERE date_diff('day', cohort_week,
+                CAST(date_trunc('week', e.ts) AS TIMESTAMP)) >= 0
+GROUP BY cohort_week, weeks_since
+"""
+
 # Z-score outliers: per-type population stats, |v - mu| > 2 sigma.
 ORACLES["zscore_outliers"] = """
 WITH s AS (

@@ -906,6 +906,32 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_retention(spark, sf_dir):
+    """Retention cohorts: users cohorted by signup week (Monday-start
+    date_trunc in both engines), counted distinct per (cohort_week,
+    weeks_since) for subsequent activity. The cohort table is user-sized
+    and the join is on user_id — broadcast at this scale, bucketed at
+    corpus scale; pre-signup activity (negative weeks) excluded."""
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    joined = ev.join(F.broadcast(cohort), "user_id")
+    weeks_since = F.floor(
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+    ).cast("int")
+    return (
+        joined.select("user_id", "cohort_week", weeks_since.alias("weeks_since"))
+        .filter(F.col("weeks_since") >= 0)
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 def q_zscore_outliers(spark, sf_dir):
     """Statistical QC: events whose value is > 2 population standard
     deviations from their event type's mean. Stats are a result-sized
@@ -1269,6 +1295,7 @@ SPARK_QUERIES = {
     "geomean_udaf": q_geomean_udaf,
     "moving_avg": q_moving_avg,
     "funnel": q_funnel,
+    "retention": q_retention,
     "zscore_outliers": q_zscore_outliers,
     "cooccurrence": q_cooccurrence,
     "error_burst": q_error_burst,
