@@ -1223,6 +1223,52 @@ UNION ALL
 SELECT '3_signup_view_purchase', CAST((SELECT COUNT(*) FROM b) AS BIGINT)
 """
 
+# dense_rank with ties over thousand-bucketed price tiers.
+ORACLES["dense_rank_ties"] = """
+WITH tiers AS (
+  SELECT n_name,
+         CAST(floor(o_totalprice / 1000) * 1000 AS BIGINT) AS price_tier,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, price_tier
+)
+SELECT n_name, price_tier, n_orders,
+       CAST(dense_rank() OVER (PARTITION BY n_name ORDER BY n_orders DESC)
+            AS INT) AS tier_rank
+FROM tiers QUALIFY tier_rank <= 3
+"""
+
+# Conversion latency: signup -> first later purchase, exact percentiles
+# per signup-week cohort (quantile_cont == Spark percentile).
+ORACLES["conversion_latency"] = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM e GROUP BY user_id
+),
+b AS (
+  SELECT e.user_id, u.t_signup, MIN(e.ts) AS t_buy
+  FROM e JOIN u USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > u.t_signup
+  GROUP BY e.user_id, u.t_signup
+),
+lat AS (
+  SELECT CAST(date_trunc('week', t_signup) AS TIMESTAMP) AS cohort_week,
+         CAST(floor(epoch(t_buy)) AS BIGINT)
+           - CAST(floor(epoch(t_signup)) AS BIGINT) AS latency_s
+  FROM b
+)
+SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+       round(quantile_cont(latency_s, 0.95), 4) AS p95_s
+FROM lat GROUP BY cohort_week
+"""
+
 # Retention cohorts: signup-week cohort x weeks-since distinct actives.
 ORACLES["retention"] = """
 WITH e AS (

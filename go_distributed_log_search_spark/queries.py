@@ -906,6 +906,75 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_dense_rank_ties(spark, sf_dir):
+    """Ranking-with-ties semantics: top order-price tiers per region via
+    dense_rank (ties share a rank and no rank is skipped — row_number
+    would split ties arbitrarily, rank would leave gaps). Prices are
+    bucketed to whole thousands so real ties exist; Spark 4 pre-prunes
+    the rank<=3 filter with WindowGroupLimit like the other top-k
+    windows."""
+    orders = _tbl(spark, sf_dir, "orders")
+    customer = _tbl(spark, sf_dir, "customer")
+    nation = _tbl(spark, sf_dir, "nation")
+    joined = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            (F.floor(F.col("o_totalprice") / 1000) * 1000).cast("long").alias("price_tier"),
+        )
+    )
+    tiers = joined.groupBy("n_name", "price_tier").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = W.partitionBy("n_name").orderBy(F.col("n_orders").desc())
+    return (
+        tiers.withColumn("tier_rank", F.dense_rank().over(w))
+        .filter(F.col("tier_rank") <= 3)
+        .select("n_name", "price_tier", "n_orders", "tier_rank")
+    )
+
+
+def q_conversion_latency(spark, sf_dir):
+    """Time-to-convert distribution: per user, seconds from signup to
+    the FIRST subsequent purchase; exact p50/p95 per signup-week cohort.
+    Reuses the funnel's chained-min shape (one user exchange, no joins
+    for the stage timestamps), then a cohort-sized exact percentile —
+    approx_percentile is the documented swap at corpus scale."""
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = W.partitionBy("user_id")
+    e = ev.withColumn(
+        "t_signup",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+    ).withColumn(
+        "t_buy",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_signup")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.first("t_signup").alias("t_signup"), F.first("t_buy").alias("t_buy"))
+        .filter(F.col("t_buy").isNotNull())
+        .select(
+            F.date_trunc("week", F.col("t_signup")).alias("cohort_week"),
+            (
+                F.unix_timestamp("t_buy") - F.unix_timestamp("t_signup")
+            ).alias("latency_s"),
+        )
+    )
+    return per_user.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("latency_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("latency_s", F.lit(0.95)), 4).alias("p95_s"),
+    )
+
+
 def q_retention(spark, sf_dir):
     """Retention cohorts: users cohorted by signup week (Monday-start
     date_trunc in both engines), counted distinct per (cohort_week,
@@ -1296,6 +1365,8 @@ SPARK_QUERIES = {
     "moving_avg": q_moving_avg,
     "funnel": q_funnel,
     "retention": q_retention,
+    "dense_rank_ties": q_dense_rank_ties,
+    "conversion_latency": q_conversion_latency,
     "zscore_outliers": q_zscore_outliers,
     "cooccurrence": q_cooccurrence,
     "error_burst": q_error_burst,
