@@ -1223,6 +1223,31 @@ UNION ALL
 SELECT '3_signup_view_purchase', CAST((SELECT COUNT(*) FROM b) AS BIGINT)
 """
 
+# Transition matrix: per-user ordered bigrams of event types; p = row-
+# normalized transition probability.
+ORACLES["transition_matrix"] = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+),
+pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM e
+),
+counts AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) /
+             SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM counts
+"""
+
 # dense_rank with ties over thousand-bucketed price tiers.
 ORACLES["dense_rank_ties"] = """
 WITH tiers AS (

@@ -906,6 +906,32 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_transition_matrix(spark, sf_dir):
+    """User-journey transition matrix (Markov bigrams): per user in
+    event-time order, count (event_type -> next event_type) transitions
+    across the corpus, with each type's outgoing total and the
+    transition probability. One user-partitioned lead() pass, then a
+    transition-matrix-sized aggregate (|types|^2 rows)."""
+    ev = _tbl(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"), "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_out = W.partitionBy("event_type")
+    return counts.select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_out), 6).alias("p"),
+    )
+
+
 def q_dense_rank_ties(spark, sf_dir):
     """Ranking-with-ties semantics: top order-price tiers per region via
     dense_rank (ties share a rank and no rank is skipped — row_number
@@ -1366,6 +1392,7 @@ SPARK_QUERIES = {
     "funnel": q_funnel,
     "retention": q_retention,
     "dense_rank_ties": q_dense_rank_ties,
+    "transition_matrix": q_transition_matrix,
     "conversion_latency": q_conversion_latency,
     "zscore_outliers": q_zscore_outliers,
     "cooccurrence": q_cooccurrence,
