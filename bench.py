@@ -37,6 +37,24 @@ TERMS_MULT = int(os.environ.get("SPARK_GRAFT_TERMS_MULT", "32"))
 # interleaved probe rounds (min per level across rounds): more rounds =
 # more chances to catch both levels in the same host phase
 SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+# Global wall-clock budget (seconds). The r03 driver run measured a
+# passing 0.894 scaling pair and then died rc=124 in the OPTIONAL
+# secondary probe before the result line printed (VERDICT r03 §wrong #1).
+# Two defenses now: (1) the official record is printed the moment the
+# primary/fallback probes finish — the driver takes the LAST parseable
+# stdout line, and an already-flushed line survives a kill; (2) this
+# deadline short-circuits remaining probe rounds / capacity waits so the
+# enriched final record also lands inside the driver's timeout.
+WALL_BUDGET = float(os.environ.get("SPARK_GRAFT_WALL_BUDGET", "2100"))
+_T_START = time.time()
+
+
+def _deadline() -> float:
+    return _T_START + WALL_BUDGET
+
+
+def _over_budget(margin: float = 0.0) -> bool:
+    return time.time() + margin > _deadline()
 
 # headline subset: one per operator family (full coverage runs in tests).
 # per-plan codegen+JIT warm-up in this sandbox is ~5-60s; each query is
@@ -300,8 +318,12 @@ def _scaling_probe(mult: int, levels=(8, 32), rounds: int = 2,
         best_eff = max((r["efficiency"] for r in round_recs), default=0.0)
         if best_eff >= target or rnd >= max_rounds:
             break
+        if rnd > 0 and _over_budget(60):
+            _log(f"bench: wall budget {WALL_BUDGET:.0f}s exhausted — "
+                 f"stopping probe after round {rnd - 1}")
+            break
         cap = _host_capacity_canary()
-        while cap < gate and waited < max_waits:
+        while cap < gate and waited < max_waits and not _over_budget(30):
             _log(f"bench: host capacity {cap:.1f} < {gate:.0f} cores — "
                  f"degraded phase, waiting 30s ({waited + 1}/{max_waits})")
             time.sleep(30)
@@ -400,6 +422,11 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        # Milestone print #1 (headline only): the driver takes the LAST
+        # parseable stdout line, so every later print supersedes this one;
+        # a kill during the scaling probe can now cost at most the probe,
+        # never the headline (r03 lost the whole record to rc=124).
+        print(json.dumps(out), flush=True)
         # OFFICIAL probe: the north-metric job (parse -> enrich -> route ->
         # per-sink counts). Efficiency = the best time-adjacent round pair
         # (both levels under the same host capacity; see _scaling_probe).
@@ -454,8 +481,12 @@ def main() -> None:
         # (probe_<small>_<big> attachments); the official efficiency is
         # the best pair, its levels recorded alongside.
         out["scaling"] = _probe_at((8, 32), rounds=SCALE_ROUNDS)
+        print(json.dumps(out), flush=True)  # milestone #2: primary probe
         for fb in ((4, 16), (2, 8)):
             if out["scaling"]["efficiency"] >= target:
+                break
+            if _over_budget(300):
+                _log("bench: wall budget exhausted — skipping fallback probes")
                 break
             _log(f"bench: below target — N->4N fallback probe at {fb}")
             alt = _probe_at(fb, rounds=2, max_rounds=3, max_waits=4)
@@ -465,31 +496,47 @@ def main() -> None:
                 out["scaling"] = alt
             else:
                 out["scaling"][f"probe_{fb[0]}_{fb[1]}"] = alt
+            print(json.dumps(out), flush=True)  # milestone: each fallback
+        # OFFICIAL RECORD, PRINTED NOW: the r03 driver run measured a
+        # passing pair then timed out in the secondary probe below before
+        # any JSON hit stdout (rc=124, parsed:null). The driver takes the
+        # last parseable stdout line, so flush the official record first;
+        # the enriched record (same official fields + secondary) re-prints
+        # after, and a mid-secondary kill can no longer void the result.
+        print(json.dumps(out), flush=True)
         # SECONDARY probe: the full pipeline INCLUDING the A1 posting-count
         # aggregation (token explode + salted hash agg) — memory-bandwidth
         # heavy, so single-box 8->32 threads under-measures what 4N
         # separate nodes (4x DRAM) would deliver; recorded for transparency.
-        _log("bench: scaling probe — secondary (full term-agg pipeline) ...")
-        tbest, tcpu, _tgc, trnds = _scaling_probe(
-            TERMS_MULT, rounds=max(1, SCALE_ROUNDS - 1), job="terms",
-            max_rounds=max(1, SCALE_ROUNDS - 1),
-            max_waits=4,  # secondary record: don't burn the wall budget
-        )
-        out["scaling"]["terms_agg_secondary"] = {
-            "n_rows": n_turns * TERMS_MULT,
-            "t_local8": round(tbest[8], 3),
-            "t_local32": round(tbest[32], 3),
-            "efficiency": max(
-                (r["efficiency"] for r in trnds),
-                default=round((tbest[8] / tbest[32]) / 4.0, 3),
-            ),
-            "rounds": trnds,
-            "work_ratio_4n_over_n": (
-                round(tcpu[32] / tcpu[8], 3) if tcpu[8] else None
-            ),
-        }
+        if _over_budget(240):
+            _log("bench: wall budget exhausted — skipping secondary probe")
+            out["scaling"]["terms_agg_secondary"] = {"skipped": "wall_budget"}
+        else:
+            _log("bench: scaling probe — secondary (full term-agg pipeline) ...")
+            try:
+                tbest, tcpu, _tgc, trnds = _scaling_probe(
+                    TERMS_MULT, rounds=max(1, SCALE_ROUNDS - 1), job="terms",
+                    max_rounds=max(1, SCALE_ROUNDS - 1),
+                    max_waits=4,  # secondary record: don't burn the wall budget
+                )
+                out["scaling"]["terms_agg_secondary"] = {
+                    "n_rows": n_turns * TERMS_MULT,
+                    "t_local8": round(tbest[8], 3),
+                    "t_local32": round(tbest[32], 3),
+                    "efficiency": max(
+                        (r["efficiency"] for r in trnds),
+                        default=round((tbest[8] / tbest[32]) / 4.0, 3),
+                    ),
+                    "rounds": trnds,
+                    "work_ratio_4n_over_n": (
+                        round(tcpu[32] / tcpu[8], 3) if tcpu[8] else None
+                    ),
+                }
+            except Exception as exc:  # never void the official record
+                _log(f"bench: secondary probe failed: {exc!r}")
+                out["scaling"]["terms_agg_secondary"] = {"error": str(exc)[:200]}
 
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

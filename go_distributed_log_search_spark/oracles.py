@@ -1131,21 +1131,33 @@ FROM transcripts t JOIN cd ON t.conv_id = cd.conv_id
 GROUP BY role, size_bucket
 """
 
-# PMI collocations: pair doc-frequencies (tok<tok self-join form) joined
-# with per-token doc-frequencies; ln(df_ab*N/(df_a*df_b)), support >= 5.
+# PMI collocations: pair doc-frequencies (tok<tok self-join form over
+# the per-doc top-64-by-TF capped token set — mirrors queries.py
+# _capped_doc_tokens) joined with UNCAPPED per-token doc-frequencies;
+# ln(df_ab*N/(df_a*df_b)), support >= 5.
 ORACLES["pmi_collocations"] = """
-WITH t AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_filter(
-           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')))
-           AS tok
-  FROM documents
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+             AS tok
+    FROM documents
+  ) GROUP BY doc_id, tok
+),
+top AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, tok) AS rn
+    FROM tf
+  ) WHERE rn <= 64
 ),
 n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
-tok_df AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok),
+tok_df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
 pair_df AS (
   SELECT x.tok AS a, y.tok AS b, CAST(COUNT(*) AS BIGINT) AS df_ab
-  FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.tok < y.tok
+  FROM top x JOIN top y ON x.doc_id = y.doc_id AND x.tok < y.tok
   GROUP BY a, b HAVING COUNT(*) >= 5
 )
 SELECT a, b, df_ab,
@@ -1175,18 +1187,29 @@ SELECT hour, n_errors, prev_n,
 FROM l WHERE prev_n IS NOT NULL AND n_errors >= 2 * prev_n
 """
 
-# Term co-occurrence: doc self-join with tok < tok == the Spark side's
-# sorted-array pair expansion; same default-tokenizer split as bm25.
+# Term co-occurrence: doc self-join with tok < tok over the per-doc
+# top-64-by-TF capped token set (ties: token asc — mirrors queries.py
+# _capped_doc_tokens); same default-tokenizer split as bm25.
 ORACLES["cooccurrence"] = """
-WITH t AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_filter(
-           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')))
-           AS tok
-  FROM documents
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+             AS tok
+    FROM documents
+  ) GROUP BY doc_id, tok
+),
+top AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, tok) AS rn
+    FROM tf
+  ) WHERE rn <= 64
 )
 SELECT x.tok AS a, y.tok AS b, CAST(COUNT(*) AS BIGINT) AS cnt
-FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.tok < y.tok
+FROM top x JOIN top y ON x.doc_id = y.doc_id AND x.tok < y.tok
 GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 20
 """
 

@@ -744,36 +744,90 @@ def q_skew_join(spark, sf_dir):
     )
 
 
-def q_pmi_collocations(spark, sf_dir):
-    """Top-20 collocations by document-level PMI:
-    pmi(a,b) = ln(df_ab * N / (df_a * df_b)), support df_ab >= 5. The
-    pair side reuses the map-side HOF expansion (no self-join); token
-    document frequencies join onto it twice — both joins broadcast, the
-    token-df table is vocabulary-sized, not corpus-sized. The classic
-    collocation measure over the cleaned-corpus tokens."""
+def _doc_tf(spark, sf_dir):
+    """(doc_id, tok, tf) term frequencies — one token-level explode +
+    partial-agg'd groupBy. The explode is linear in corpus tokens and the
+    shuffle carries DISTINCT (doc, tok) pairs only; it also redistributes
+    a few-split input across the cluster, so the downstream per-doc pair
+    fan-out never runs inside a single scan task (measured: the old
+    map-side HOF expansion ran in the 1-split scan task AND re-evaluated
+    tokenize per lambda element — 14.2 s at sf0.1; this shape is 2-3 s)."""
     from .functions.tokenize import tokenize
 
-    docs = _docs(spark, sf_dir)
-    n_docs = docs.count()  # scalar, control-plane (avoids the Spark 4.1
-    # local-mode scalar-subquery stall documented in transcripts.py)
-    toks = F.array_sort(F.array_distinct(tokenize(F.col("text"), "default")))
-    tok_df = (
-        docs.select(F.explode(toks).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(tokenize(F.col("text"), "default")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    pairs_arr = F.flatten(
+
+
+def _capped_doc_tokens(tf: DataFrame, max_vocab: int) -> DataFrame:
+    """Per-doc sorted array of the top-``max_vocab`` tokens by term
+    frequency (ties: token asc — deterministic, oracle-replayable as
+    row_number() OVER (PARTITION BY doc ORDER BY tf DESC, tok)). The cap
+    bounds the downstream pair fan-out at C(max_vocab, 2) per doc — the
+    guard VERDICT r03 flagged as the one latent O(v^2) scale-killer
+    (agent transcripts can be long; synthetic docs max out at 31 distinct
+    tokens, so max_vocab=64 leaves small-SF results bit-identical)."""
+    ranked = F.struct((-F.col("tf")).alias("ntf"), F.col("tok").alias("tok"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(F.collect_list(ranked).alias("c"))
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.transform(
+                    F.slice(F.array_sort("c"), 1, max_vocab), lambda s: s["tok"]
+                )
+            ).alias("toks"),
+        )
+    )
+
+
+def _token_pairs(toks_df: DataFrame) -> DataFrame:
+    """(a, b) unordered pair expansion (a < b) of each doc's sorted token
+    array — map-side HOF over a materialized column reference (an inline
+    expression would be re-evaluated per lambda element by the
+    interpreted HOF path; measured 4x slower), no self-join."""
+    c = F.col("toks")
+    pairs = F.flatten(
         F.transform(
-            toks,
+            c,
             lambda x, i: F.transform(
-                F.slice(toks, i + F.lit(2), F.size(toks)),
+                F.slice(c, i + F.lit(2), F.size(c)),
                 lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
+    return toks_df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+
+
+def q_pmi_collocations(spark, sf_dir, max_vocab: int = 64):
+    """Top-20 collocations by document-level PMI:
+    pmi(a,b) = ln(df_ab * N / (df_a * df_b)), support df_ab >= 5, pair
+    side capped at the top-``max_vocab`` tokens per doc by TF (VERDICT
+    r03 task 3 — the uncapped HOF expansion was O(v^2) per doc with no
+    guard and the slowest query on the board). Token document
+    frequencies stay UNCAPPED (true df, the classic collocation
+    denominator) and reuse the same TF shuffle (ReusedExchange); both df
+    joins broadcast — the token-df table is vocabulary-sized, not
+    corpus-sized."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # scalar, control-plane (avoids the Spark 4.1
+    # local-mode scalar-subquery stall documented in transcripts.py)
+    # persist: the TF aggregate feeds THREE consumers (pair side + both
+    # df joins) and Catalyst does not ReuseExchange across the differing
+    # alias trees — without it the plan scans + re-tokenizes the corpus
+    # three times. (doc, tok, tf) distinct pairs are a small fraction of
+    # corpus bytes and spill to disk; one scan is the plan you'd want at
+    # 100 TB.
+    tf = _doc_tf(spark, sf_dir).persist()
+    tok_df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     pair_df = (
-        docs.select(F.explode(pairs_arr).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        _token_pairs(_capped_doc_tokens(tf, max_vocab))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("df_ab"))
         .filter(F.col("df_ab") >= 5)
@@ -822,32 +876,18 @@ def q_error_burst(spark, sf_dir):
     )
 
 
-def q_cooccurrence(spark, sf_dir):
+def q_cooccurrence(spark, sf_dir, max_vocab: int = 64):
     """Top-20 term co-occurrence pairs across documents (collocation/PMI
-    prep). The pair fan-out happens MAP-SIDE in one HOF expression over
-    the sorted distinct-token array (transform-with-index x slice), so
-    there is no self-join: the only shuffle carries (a, b) partial
-    counts, and top-20 compiles to TakeOrderedAndProject. Per-doc cost is
-    O(v^2) in distinct vocabulary — at corpus scale cap v (length filter
-    or top-TF tokens per doc) before pairing; the synthetic docs are
-    short so no cap is needed here. Oracle: doc self-join with tok<tok —
-    equivalent to sorted-array pair expansion."""
-    from .functions.tokenize import tokenize
-
-    docs = _docs(spark, sf_dir)
-    toks = F.array_sort(F.array_distinct(tokenize(F.col("text"), "default")))
-    pairs = F.flatten(
-        F.transform(
-            toks,
-            lambda x, i: F.transform(
-                F.slice(toks, i + F.lit(2), F.size(toks)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    prep), pair side capped at the top-``max_vocab`` tokens per doc by
+    TF (ties: token asc) — VERDICT r03 task 3's guard against the
+    uncapped O(v^2) per-doc fan-out. The TF aggregate distributes the
+    few-split scan, the HOF pair expansion runs over the capped sorted
+    array (no self-join), the only wide op after it carries (a, b)
+    partial counts, and top-20 compiles to TakeOrderedAndProject.
+    Oracle: per-doc TF -> row_number top-V -> self-join with tok<tok —
+    equivalent to capped sorted-array pair expansion."""
     return (
-        docs.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        _token_pairs(_capped_doc_tokens(_doc_tf(spark, sf_dir), max_vocab))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "a", "b")
@@ -1338,57 +1378,15 @@ def q_ip_normalize(spark, sf_dir):
     )
 
 
+# Registration ORDER is part of the driver contract: the round-3 driver
+# gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
+# r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
+# ungated, rotated to the front so round 4's window covers them. Block 2
+# = 21 cheap long-green rows filling the 50-row window. Block 3 = the
+# remaining r02/r03-green rows, heaviest (md5_60 oracle-parity dedup
+# paths) last, so a time-budgeted sweep still gates the cheap rows first.
 SPARK_QUERIES = {
-    "pipeline_parse": q_pipeline_parse,
-    "pipeline_route_counts": q_route_counts,
-    "pipeline_agg_terms": q_agg_terms,
-    "pipeline_enrich": q_enrich,
-    "turn_ordering": q_ordering,
-    "pivot_role_counts": q_pivot_roles,
-    "unpivot_roles": q_unpivot_roles,
-    "dynamic_fields": q_dynamic_fields,
-    "lineage_counts": q_lineage_counts,
-    "search_substring_topk": q_search_substring_topk,
-    "search_field_query": q_search_field_query,
-    "search_bool_not": q_search_bool_not,
-    "search_map_scoring": q_search_map_scoring,
-    "demo_e2e": q_demo_e2e,
-    "demo_search_struct": q_demo_search_struct,
-    "demo_ingest_types": q_demo_ingest_types,
-    "terms_raw": q_terms_raw,
-    "terms_whitespace": q_terms_whitespace,
-    "media_metadata": q_media_metadata,
-    "media_features": q_media_features,
-    "lang_id": q_lang_id,
-    "quality_buckets": q_quality,
-    "token_stats": q_token_stats,
-    "token_budget": q_token_budget,
-    "approx_distinct": q_approx_distinct,
-    "fingerprints": q_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "jaccard_adjacent": q_jaccard_adjacent,
-    "minhash_lsh_dedup": q_minhash_lsh,
-    "simhash_pairs": q_simhash,
-    "dedup_clusters": q_dedup_clusters,
-    "knn_bruteforce": q_knn_bruteforce,
-    "embedding_neardup": q_embedding_neardup,
-    "lsh_ann_topk": q_lsh_ann,
-    "ivf_ann_topk": q_ivf_ann,
-    "tpch_q1": q_tpch_q1,
-    "join_topk": q_join_topk,
-    "window_top_order": q_window_top_order,
-    "set_ops": q_set_ops,
-    "sessionize": q_sessionize,
-    "asof_join": q_asof_join,
-    "time_rollup": q_time_rollup,
-    "range_join": q_range_join,
-    "hourly_windows": q_hourly_windows,
-    "sliding_windows": q_sliding_windows,
-    "cdc_compact": q_cdc_compact,
-    "gap_fill": q_gap_fill,
-    "ntile_quartiles": q_ntile_quartiles,
-    "geomean_udaf": q_geomean_udaf,
-    "moving_avg": q_moving_avg,
+    # -- block 1: round-3 ungated (reg. #51-79 last round) --------------
     "funnel": q_funnel,
     "retention": q_retention,
     "dense_rank_ties": q_dense_rank_ties,
@@ -1418,4 +1416,56 @@ SPARK_QUERIES = {
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,
+    # -- block 2: long-green fillers to round out the 50-row window -----
+    "pipeline_parse": q_pipeline_parse,
+    "pipeline_route_counts": q_route_counts,
+    "pipeline_agg_terms": q_agg_terms,
+    "pipeline_enrich": q_enrich,
+    "turn_ordering": q_ordering,
+    "demo_e2e": q_demo_e2e,
+    "demo_search_struct": q_demo_search_struct,
+    "demo_ingest_types": q_demo_ingest_types,
+    "search_substring_topk": q_search_substring_topk,
+    "search_field_query": q_search_field_query,
+    "search_bool_not": q_search_bool_not,
+    "search_map_scoring": q_search_map_scoring,
+    "tpch_q1": q_tpch_q1,
+    "window_top_order": q_window_top_order,
+    "time_rollup": q_time_rollup,
+    "sessionize": q_sessionize,
+    "hourly_windows": q_hourly_windows,
+    "sliding_windows": q_sliding_windows,
+    "dedup_exact": q_dedup_exact,
+    "knn_bruteforce": q_knn_bruteforce,
+    "token_budget": q_token_budget,
+    # -- block 3: remaining green rows; md5_60 oracle-parity paths last --
+    "pivot_role_counts": q_pivot_roles,
+    "unpivot_roles": q_unpivot_roles,
+    "dynamic_fields": q_dynamic_fields,
+    "lineage_counts": q_lineage_counts,
+    "terms_raw": q_terms_raw,
+    "terms_whitespace": q_terms_whitespace,
+    "media_metadata": q_media_metadata,
+    "media_features": q_media_features,
+    "lang_id": q_lang_id,
+    "quality_buckets": q_quality,
+    "token_stats": q_token_stats,
+    "approx_distinct": q_approx_distinct,
+    "fingerprints": q_fingerprint,
+    "jaccard_adjacent": q_jaccard_adjacent,
+    "simhash_pairs": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "lsh_ann_topk": q_lsh_ann,
+    "ivf_ann_topk": q_ivf_ann,
+    "join_topk": q_join_topk,
+    "set_ops": q_set_ops,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "cdc_compact": q_cdc_compact,
+    "gap_fill": q_gap_fill,
+    "ntile_quartiles": q_ntile_quartiles,
+    "geomean_udaf": q_geomean_udaf,
+    "moving_avg": q_moving_avg,
+    "minhash_lsh_dedup": q_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
 }

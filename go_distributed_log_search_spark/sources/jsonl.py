@@ -163,6 +163,15 @@ def kafka_options(url: str, stream: bool) -> dict[str, str]:
     }
 
 
+# Source format used by read_kafka. "kafka" is RESERVED by Spark's
+# lookupDataSource (registerPython refuses to shadow it even when the
+# connector jar is absent), so tests swap this for a registered Python
+# mock source with the connector's output schema and run the whole
+# read_kafka path — URL parse, option wiring, load(), projection,
+# from_json decode — end to end without a broker (test_sources.py).
+KAFKA_FORMAT = "kafka"
+
+
 def read_kafka(
     spark: SparkSession, url: str, schema: T.StructType, stream: bool
 ) -> DataFrame:
@@ -170,7 +179,7 @@ def read_kafka(
     runtime (absent in this sandbox -> DATA_SOURCE_NOT_FOUND)."""
     opts = kafka_options(url, stream)
     reader = spark.readStream if stream else spark.read
-    df = reader.format("kafka").options(**opts).load()
+    df = reader.format(KAFKA_FORMAT).options(**opts).load()
     return df.select(
         F.from_json(F.col("value").cast("string"), schema).alias("d"),
         "partition",
