@@ -97,3 +97,51 @@ def split_assign(
         cond = bucket < acc
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def mix_rebalance(
+    df: DataFrame,
+    targets: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance the corpus toward a target source mixture by
+    DOWNSAMPLING only (never upsampling): the largest corpus consistent
+    with ``targets`` is total = min_i(n_i / w_i), each source keeps
+    ~w_i * total rows via a deterministic hash threshold.
+
+    The keep rule is pure map-side — md5(id)'s first 7 hex digits
+    (uniform in [0, 16^7)) compared against frac_i * 16^7 — so after one
+    vocabulary-of-sources-sized count aggregate the operator is a single
+    scan + filter with NO window, NO sort, NO per-source shuffle: the
+    shape that survives 10^12 rows (contrast stratified_sample, whose
+    exact-quota guarantee costs a per-stratum window). Counts are
+    Bernoulli-approximate per source (realized shares converge to
+    targets at corpus scale); a document's fate depends only on its id —
+    stable under reruns, resharding, and incremental appends, and
+    replayable exactly by a SQL oracle (same md5-prefix parity trick as
+    operators/dedup.py md5_60).
+
+    Sources absent from ``targets`` are dropped (weight 0). Returns the
+    kept rows with original columns.
+    """
+    if not targets or any(w <= 0 for w in targets.values()):
+        raise ValueError(f"targets must be positive weights: {targets}")
+    w_df = df.sparkSession.createDataFrame(
+        [(s, float(w)) for s, w in targets.items()], [source_col, "_w"]
+    )
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    caps = counts.join(w_df, source_col).select(
+        source_col, "_n", "_w", (F.col("_n") / F.col("_w")).alias("_cap")
+    )
+    total = caps.agg(F.min("_cap").alias("_total"))
+    fracs = caps.crossJoin(F.broadcast(total)).select(
+        source_col,
+        F.least(F.lit(1.0), (F.col("_w") * F.col("_total")) / F.col("_n")).alias("_frac"),
+    )
+    bucket = F.conv(F.substring(_order_hash(id_col), 1, 7), 16, 10).cast("long")
+    return (
+        df.join(F.broadcast(fracs), source_col)
+        .filter(bucket < F.col("_frac") * F.lit(16 ** 7))
+        .drop("_frac")
+    )

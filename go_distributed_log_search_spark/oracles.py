@@ -1213,6 +1213,61 @@ FROM top x JOIN top y ON x.doc_id = y.doc_id AND x.tok < y.tok
 GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 20
 """
 
+# TF-IDF top-k per doc: tf * ln(N/df) over the default-tokenizer split,
+# ties on (rounded score desc, tok asc) — mirrors queries.py q_tfidf_topk.
+ORACLES["tfidf_topk"] = """
+WITH tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+             AS tok
+    FROM documents
+  ) GROUP BY doc_id, tok
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+s AS (
+  SELECT doc_id, tf.tok,
+         round(tf * ln(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfq USING (tok) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, tok, tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rank
+  FROM s
+)
+SELECT doc_id, tok, tfidf, rank FROM r WHERE rank <= 3
+"""
+
+# Domain-mix rebalance: downsample-only toward target weights; keep rule
+# = md5(id) 7-hex prefix < frac * 16^7 (operators/sampling.py:
+# mix_rebalance md5-prefix parity).
+ORACLES["mix_rebalance"] = """
+WITH w AS (
+  SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2),
+                        ('src3', 0.1)) AS t(source, w)
+),
+c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+caps AS (SELECT c.source, n, w, n / w AS cap FROM c JOIN w USING (source)),
+tot AS (SELECT MIN(cap) AS total FROM caps),
+f AS (
+  SELECT source, LEAST(1.0, (w * total) / n) AS frac
+  FROM caps CROSS JOIN tot
+),
+kept AS (
+  SELECT d.source, d.doc_id
+  FROM documents d JOIN f USING (source)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))::BIGINT
+        < frac * 268435456
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM kept GROUP BY source
+"""
+
 # Funnel: chained stage mins (each conditioned on the previous stage's
 # timestamp) via joins — equivalent to the Spark side's chained window
 # mins (ts > NULL is never true, so missing stages propagate).

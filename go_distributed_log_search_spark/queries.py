@@ -895,6 +895,53 @@ def q_cooccurrence(spark, sf_dir, max_vocab: int = 64):
     )
 
 
+def q_tfidf_topk(spark, sf_dir, k: int = 3):
+    """Per-doc top-k terms by TF-IDF (tf * ln(N/df)) — the classic
+    keyword-extraction / relevance-feature op every corpus pipeline
+    ships next to BM25. Reuses the distributed _doc_tf aggregate
+    (persisted: it feeds both the score join and the token-df build);
+    token dfs are vocabulary-sized and broadcast; the per-doc top-k
+    window pre-prunes map-side via WindowGroupLimit. Ordering ties
+    resolve on the ROUNDED score then token asc, so the oracle replays
+    the exact cut."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # scalar, control-plane
+    tf = _doc_tf(spark, sf_dir).persist()
+    df_tok = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_tok), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "tok", "tfidf", "rank")
+    )
+
+
+def q_mix_rebalance(spark, sf_dir):
+    """Domain-mix rebalancing: downsample sources toward a target
+    mixture (40/30/20/10 over src0-3; other sources dropped) with the
+    deterministic hash-threshold rule of operators/sampling.py:
+    mix_rebalance — pure scan+filter, no window, replayed exactly by
+    the oracle via the md5-prefix parity trick. Output = per-source
+    audit (n_kept + doc_id checksum)."""
+    from .operators.sampling import mix_rebalance
+
+    kept = mix_rebalance(
+        _docs(spark, sf_dir),
+        targets={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Funnel analysis — the event-analytics staple: per user, a signup,
     then a view AFTER it, then a purchase AFTER that. Three chained
@@ -1466,6 +1513,8 @@ SPARK_QUERIES = {
     "ntile_quartiles": q_ntile_quartiles,
     "geomean_udaf": q_geomean_udaf,
     "moving_avg": q_moving_avg,
+    "tfidf_topk": q_tfidf_topk,
+    "mix_rebalance": q_mix_rebalance,
     "minhash_lsh_dedup": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
 }

@@ -218,3 +218,49 @@ def test_decontaminate_short_docs_never_contaminate(spark):
     )
     rows = dedup.decontaminate_stats(corpus, ev, n=5).collect()
     assert [(r.n_docs, r.n_contaminated) for r in rows] == [(1, 0)]
+
+
+def test_mix_rebalance_semantics(spark):
+    from go_distributed_log_search_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b") for i in range(100)],
+        ["doc_id", "source"],
+    )
+    # targets 50/50 on (80 a, 20 b): total = min(80/.5, 20/.5) = 40 ->
+    # a keeps ~.25 of its rows, b keeps all (frac capped at 1.0)
+    kept = sampling.mix_rebalance(
+        docs, {"a": 0.5, "b": 0.5}, source_col="source", id_col="doc_id"
+    )
+    rows = kept.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    # b's frac is 1.0: every b row survives
+    assert by_src["b"] == set(range(80, 100))
+    # a is Bernoulli-downsampled around 20 of 80 (md5 prefix is uniform)
+    assert 5 <= len(by_src["a"]) <= 40
+    # deterministic: the same ids survive on a re-run
+    again = {r.doc_id for r in sampling.mix_rebalance(
+        docs, {"a": 0.5, "b": 0.5}, source_col="source", id_col="doc_id"
+    ).collect()}
+    assert again == by_src["a"] | by_src["b"]
+    # sources missing from targets are dropped entirely
+    only_a = sampling.mix_rebalance(
+        docs, {"a": 1.0}, source_col="source", id_col="doc_id"
+    ).collect()
+    assert {r.source for r in only_a} == {"a"}
+    # every a row survives (total = 80/1.0, frac = 1.0)
+    assert len(only_a) == 80
+
+
+def test_mix_rebalance_rejects_bad_targets(spark):
+    import pytest as _pytest
+
+    from go_distributed_log_search_spark.operators import sampling
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with _pytest.raises(ValueError, match="positive"):
+        sampling.mix_rebalance(docs, {"a": 0.0})
+    with _pytest.raises(ValueError, match="positive"):
+        sampling.mix_rebalance(docs, {})

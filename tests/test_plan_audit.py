@@ -89,3 +89,29 @@ def test_ivf_assign_runs_once_and_hash_joins(spark):
 
 # (Blob-pruning for the multimodal scan is pinned in test_multimodal.py,
 # which writes real parquet so the scan's ReadSchema is observable.)
+
+def test_vocab_oov_membership_is_broadcast_join(spark):
+    """Vocabulary membership must be a BroadcastHashJoin on term (O(1)
+    hash probe per token), never an array_contains scan over a collected
+    literal (O(V) per token — wrong shape at a 50k vocabulary; VERDICT
+    r03 task 5)."""
+    df = entry_mod.queries()["vocab_oov"](spark, SF0001)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "array_contains" not in plan, plan
+
+
+def test_cooccurrence_pairs_after_distributed_tf(spark):
+    """The per-doc pair fan-out must run AFTER the TF exchange (so it is
+    distributed, not confined to the scan task of a few-split input) and
+    the final top-20 must be TakeOrderedAndProject, with the capped
+    sorted-struct slice (the max_vocab guard) visible in the plan."""
+    df = entry_mod.queries()["cooccurrence"](spark, SF0001)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    tree = plan.split("\n\n")[0]
+    # generator (pair explode) must sit above at least one Exchange
+    gen_pos = tree.find("Generate")
+    assert gen_pos != -1, tree
+    assert "Exchange" in tree[gen_pos:], f"pair explode not above an exchange\n{tree}"
+    assert "slice" in plan, plan  # the top-max_vocab cap
