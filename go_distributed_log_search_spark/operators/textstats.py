@@ -248,3 +248,69 @@ def vocab_oov_stats(
         F.sum("n_oov").cast("bigint").alias("n_oov_tokens"),
         F.round(F.avg(F.col("n_oov") / F.col("n")), 4).alias("avg_oov_rate"),
     )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model perplexity per document, aggregated per
+    group — the KenLM-style quality filter every training pipeline runs
+    (low-perplexity = fluent in-distribution text, high = noise). The LM
+    is trained on the corpus itself: add-k-smoothed bigram probabilities
+    P(b|a) = (c(a,b) + k) / (c(a) + k*V) with c(a) the bigram-history
+    count and V the corpus vocabulary size; per-doc perplexity =
+    exp(-avg ln P) over the doc's bigrams.
+
+    Scale shapes:
+    - Bigrams are built MAP-SIDE with one zip_with over the materialized
+      token-array column (two slices of the same column — no per-element
+      re-tokenize, see queries._token_pairs), then exploded once.
+    - The two count tables are corpus-level aggregates the size of the
+      (observed) bigram/unigram vocabulary, joined back broadcast; in a
+      real pipeline the LM is trained offline on a sample and this join
+      is a broadcast of the shipped LM, exactly this plan.
+    - V is a scalar from countDistinct — control-plane sized.
+    - Docs with < 2 tokens have no bigrams and are excluded (no score).
+
+    Returns (group, n_docs, avg_ppl) with avg_ppl rounded to 4dp.
+    """
+    toks_df = df.select(
+        F.col(id_col), F.col(group_col),
+        tokenize(F.col(text_col), "default").alias("_t"),
+    ).filter(F.size("_t") >= 2)
+    n = F.size("_t")
+    bigrams = F.zip_with(
+        F.slice(F.col("_t"), 1, n - 1),
+        F.slice(F.col("_t"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    bg = toks_df.select(
+        id_col, group_col, F.explode(bigrams).alias("_bg")
+    ).select(
+        id_col, group_col,
+        F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"),
+    )
+    c_ab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = bg.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    v = (
+        df.select(F.explode(tokenize(F.col(text_col), "default")).alias("_tok"))
+        .agg(F.countDistinct("_tok"))
+        .collect()[0][0]
+    )
+    lp = F.log(
+        (F.col("c_ab") + F.lit(add_k)) / (F.col("c_a") + F.lit(add_k * v))
+    )
+    per_doc = (
+        bg.join(F.broadcast(c_ab), ["a", "b"])
+        .join(F.broadcast(c_a), ["a"])
+        .groupBy(id_col, group_col)
+        .agg(F.exp(-F.avg(lp)).alias("_ppl"))
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("_ppl"), 4).alias("avg_ppl"),
+    )

@@ -1242,6 +1242,45 @@ r AS (
 SELECT doc_id, tok, tfidf, rank FROM r WHERE rank <= 3
 """
 
+# Bigram-LM perplexity (textstats.py:lm_perplexity): add-k smoothed
+# P(b|a) = (c_ab + k)/(c_a + k*V) with k=0.5, c_a = bigram-history count,
+# V = corpus distinct tokens; per-doc ppl = exp(-avg ln P) over lead()
+# bigrams; per-source avg rounded 4dp. Docs with < 2 tokens excluded.
+ORACLES["lm_perplexity"] = """
+WITH tok AS (
+  SELECT doc_id, source, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+  FROM (
+    SELECT doc_id, source, unnest(toks) AS tok,
+           generate_subscripts(toks, 1) AS pos
+    FROM (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+  )
+),
+bg AS (
+  SELECT doc_id, source, tok AS a,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM tok
+  QUALIFY b IS NOT NULL
+),
+c_ab AS (SELECT a, b, COUNT(*) AS c_ab FROM bg GROUP BY a, b),
+c_a AS (SELECT a, COUNT(*) AS c_a FROM bg GROUP BY a),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v FROM tok),
+per_doc AS (
+  SELECT bg.doc_id, bg.source,
+         exp(-avg(ln((c_ab + 0.5) / (c_a + 0.5 * v)))) AS ppl
+  FROM bg JOIN c_ab USING (a, b) JOIN c_a USING (a) CROSS JOIN v
+  GROUP BY bg.doc_id, bg.source
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(ppl), 4) AS avg_ppl
+FROM per_doc GROUP BY source
+"""
+
 # Domain-mix rebalance: downsample-only toward target weights; keep rule
 # = md5(id) 7-hex prefix < frac * 16^7 (operators/sampling.py:
 # mix_rebalance md5-prefix parity).

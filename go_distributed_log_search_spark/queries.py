@@ -923,6 +923,13 @@ def q_tfidf_topk(spark, sf_dir, k: int = 3):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Per-source bigram-LM perplexity quality audit (the KenLM-style
+    corpus filter) — operators/textstats.py:lm_perplexity. Oracle:
+    identical add-k bigram model replayed with lead() bigrams in SQL."""
+    return textstats.lm_perplexity(_docs(spark, sf_dir))
+
+
 def q_mix_rebalance(spark, sf_dir):
     """Domain-mix rebalancing: downsample sources toward a target
     mixture (40/30/20/10 over src0-3; other sources dropped) with the
@@ -1515,6 +1522,7 @@ SPARK_QUERIES = {
     "moving_avg": q_moving_avg,
     "tfidf_topk": q_tfidf_topk,
     "mix_rebalance": q_mix_rebalance,
+    "lm_perplexity": q_lm_perplexity,
     "minhash_lsh_dedup": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
 }

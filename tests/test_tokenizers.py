@@ -95,3 +95,21 @@ def test_vocab_oov_skips_empty_docs(spark):
     )
     [r] = vocab_oov_stats(df, vocab_size=10).collect()
     assert (r.n_docs, r.n_tokens, r.n_oov_tokens) == (1, 2, 0)
+
+
+def test_lm_perplexity_exact(spark):
+    """Hand-computed bigram add-k model: docs "a b a b" and "a b c".
+    Bigrams (a,b)x3 (b,a)x1 (b,c)x1; c_a=3, c_b=2; V=3; k=0.5.
+    P(a,b)=3.5/4.5, P(b,a)=P(b,c)=1.5/3.5.
+    doc1 ppl = exp(-(2*ln(7/9)+ln(3/7))/3) = 1.5683
+    doc2 ppl = exp(-(ln(7/9)+ln(3/7))/2)   = sqrt(3) = 1.7321
+    avg = 1.6502; the 1-token doc contributes nothing."""
+    from go_distributed_log_search_spark.operators.textstats import lm_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b", "s"), (2, "a b c", "s"), (3, "a", "s")],
+        ["doc_id", "text", "source"],
+    )
+    [r] = lm_perplexity(df).collect()
+    assert (r.source, r.n_docs) == ("s", 2)
+    assert abs(r.avg_ppl - 1.6502) < 5e-5, r.avg_ppl
