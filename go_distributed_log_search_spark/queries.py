@@ -1470,6 +1470,11 @@ SPARK_QUERIES = {
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,
+    # -- block 1b: round-4 additions (must sit inside the 50-row window
+    # so the driver gates them the round they are introduced) ------------
+    "tfidf_topk": q_tfidf_topk,
+    "mix_rebalance": q_mix_rebalance,
+    "lm_perplexity": q_lm_perplexity,
     # -- block 2: long-green fillers to round out the 50-row window -----
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
@@ -1489,10 +1494,11 @@ SPARK_QUERIES = {
     "sessionize": q_sessionize,
     "hourly_windows": q_hourly_windows,
     "sliding_windows": q_sliding_windows,
+    # -- block 3: remaining green rows (r02/r03 carryover-green when the
+    # 50-row window cuts here); md5_60 oracle-parity paths last ---------
     "dedup_exact": q_dedup_exact,
     "knn_bruteforce": q_knn_bruteforce,
     "token_budget": q_token_budget,
-    # -- block 3: remaining green rows; md5_60 oracle-parity paths last --
     "pivot_role_counts": q_pivot_roles,
     "unpivot_roles": q_unpivot_roles,
     "dynamic_fields": q_dynamic_fields,
@@ -1520,9 +1526,6 @@ SPARK_QUERIES = {
     "ntile_quartiles": q_ntile_quartiles,
     "geomean_udaf": q_geomean_udaf,
     "moving_avg": q_moving_avg,
-    "tfidf_topk": q_tfidf_topk,
-    "mix_rebalance": q_mix_rebalance,
-    "lm_perplexity": q_lm_perplexity,
     "minhash_lsh_dedup": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
 }
