@@ -554,3 +554,51 @@ def decontaminate_stats(
             F.round(F.col("n_contaminated") / F.col("n_docs"), 4),
         )
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    min_docs: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Repeated n-token spans across documents — the detection half of
+    exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": verbatim spans repeated across the
+    corpus are memorization fuel and get cut before training).
+
+    Output: (gram, n_docs, n_hits) for the top-k spans that appear in
+    >= min_docs DISTINCT documents; n_hits counts every occurrence
+    (within-doc repeats included). Order: n_docs desc, n_hits desc,
+    gram asc — fully deterministic.
+
+    Shape: tokens are materialized as a column BEFORE the span-expansion
+    HOF runs (nesting the tokenizer inside transform() re-evaluates it
+    per element on the interpreted HOF path — the measured 14.2s trap
+    from the cooccurrence rework, BASELINE.md round-4 notes), then one
+    explode + one partial-agg'd groupBy. The group key here is the span
+    TEXT for oracle parity; the 100 TB path groups by xxhash64(gram)
+    (8-byte shuffle rows) and joins example text back for the top-k
+    only — same two-job shape as the md5_60/xxhash64 dedup split
+    elsewhere in this module.
+    """
+    toks_df = df.select(
+        F.col(id_col), tokenize(F.col(text_col), "default").alias("_toks")
+    )
+    idx = F.sequence(F.lit(0), F.size(F.col("_toks")) - n)
+    grams = F.when(
+        F.size(F.col("_toks")) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = toks_df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    counted = exploded.groupBy("gram").agg(
+        F.count_distinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    return (
+        counted.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("n_hits").desc(), F.col("gram"))
+        .limit(k)
+    )

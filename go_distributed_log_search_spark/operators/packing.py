@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import tokenize
 from .textstats import ws_token_count_expr
 
 
@@ -91,4 +92,43 @@ def pack_summary(packed: DataFrame, group_col: str = "source") -> DataFrame:
     return packed.groupBy(group_col, "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG-style overlapping token chunking: (doc_id, chunk_idx, start_tok,
+    n_toks, chunk_text).
+
+    Chunk c covers tokens [c*stride, c*stride + size) of the default
+    tokenization; chunks are emitted while their start offset is inside
+    the document, so the final chunk may be shorter than ``size`` (the
+    standard sliding-window chunker for embedding/RAG ingestion).
+
+    Shape: pure Catalyst — tokens materialized as a column once (never
+    re-tokenized inside the HOF, see the interpreted-HOF trap in
+    BASELINE.md), chunk starts from sequence(), slices from slice(), one
+    posexplode. No shuffle at all: chunking is embarrassingly parallel
+    per input split, which is exactly what you want in front of a 100 TB
+    embedding pass.
+    """
+    toks_df = df.select(
+        F.col(id_col), tokenize(F.col(text_col), "default").alias("_toks")
+    ).filter(F.size("_toks") >= 1)
+    starts = F.sequence(F.lit(1), F.size(F.col("_toks")), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(F.col("_toks"), s, size))
+    return toks_df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_chunk"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).alias("start_tok"),
+        F.size("_chunk").alias("n_toks"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
     )

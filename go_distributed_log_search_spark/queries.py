@@ -10,7 +10,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from . import pipeline
-from .operators import aggregate, dedup, parse, route, search, similarity, textstats
+from .operators import (
+    aggregate,
+    chatformat,
+    dedup,
+    parse,
+    route,
+    search,
+    similarity,
+    textstats,
+)
+from .operators import packing as packing_ops
 from .transcripts import transcripts_df
 
 
@@ -1432,6 +1442,65 @@ def q_ip_normalize(spark, sf_dir):
     )
 
 
+def q_role_alternation(spark, sf_dir):
+    """Chat-format integrity report over the transcripts table: one row
+    per violation type (missing system turn, same-role run, tool turn
+    answering a user) with turn and conversation counts —
+    operators/chatformat.py:role_alternation_report. One lag() window on
+    (conv_id, turn_idx) + one global aggregate."""
+    return chatformat.role_alternation_report(_t(spark, sf_dir))
+
+
+def q_context_truncate(spark, sf_dir):
+    """Context-window truncation summary (budget 120 whitespace tokens,
+    newest turns kept first) — chatformat.context_truncate. Reverse
+    running-sum window; the per-conv aggregate reuses the partitioning."""
+    return chatformat.context_truncate(_t(spark, sf_dir), budget=120)
+
+
+def q_boilerplate_topk(spark, sf_dir):
+    """Top boilerplate turn texts: normalized fingerprints recurring in
+    >= 12 distinct conversations (canned greetings / templated banners) —
+    chatformat.boilerplate_turns. CCNet-style boilerplate detection at
+    turn granularity."""
+    return chatformat.boilerplate_turns(_t(spark, sf_dir), min_convs=12, k=20)
+
+
+def q_boilerplate_scrub(spark, sf_dir):
+    """Per-role retention after dropping boilerplate turns —
+    chatformat.boilerplate_scrub. The frequent-fingerprint set is
+    broadcast (vocabulary-sized by construction): scan, broadcast probe,
+    aggregate; the corpus never shuffles."""
+    return chatformat.boilerplate_scrub(_t(spark, sf_dir), min_convs=12)
+
+
+def q_ngram_spans(spark, sf_dir):
+    """Repeated 4-token spans across documents (the detection half of
+    exact substring dedup, Lee et al. 2022) —
+    operators/dedup.py:repeated_ngram_spans. Top-20 by (n_docs desc,
+    n_hits desc, gram asc)."""
+    return dedup.repeated_ngram_spans(
+        _docs(spark, sf_dir), n=4, min_docs=2, k=20
+    )
+
+
+def q_chunk_docs(spark, sf_dir):
+    """RAG-style overlapping chunking (size 32, stride 24 tokens) —
+    operators/packing.py:chunk_documents. Zero-shuffle Catalyst HOFs with
+    the token array materialized once per row."""
+    return packing_ops.chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+
+
+def q_quant_ann_topk(spark, sf_dir):
+    """INT8-quantized dot-product top-k (queries = vec_id < 5, k=5) —
+    operators/similarity.py:quantized_topk. Integer scores are exact, so
+    the ranking is bit-deterministic and fully oracle-checkable; the
+    quantization formula (floor(x*127/max|x| + 0.5), float64 IEEE ops) is
+    replayed verbatim by the DuckDB oracle."""
+    emb = _emb(spark, sf_dir)
+    return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -1475,6 +1544,13 @@ SPARK_QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "mix_rebalance": q_mix_rebalance,
     "lm_perplexity": q_lm_perplexity,
+    "role_alternation": q_role_alternation,
+    "context_truncate": q_context_truncate,
+    "boilerplate_topk": q_boilerplate_topk,
+    "boilerplate_scrub": q_boilerplate_scrub,
+    "ngram_spans": q_ngram_spans,
+    "chunk_docs": q_chunk_docs,
+    "quant_ann_topk": q_quant_ann_topk,
     # -- block 2: long-green fillers to round out the 50-row window -----
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
@@ -1487,6 +1563,8 @@ SPARK_QUERIES = {
     "search_substring_topk": q_search_substring_topk,
     "search_field_query": q_search_field_query,
     "search_bool_not": q_search_bool_not,
+    # -- block 3: remaining green rows (r02/r03 carryover-green when the
+    # 50-row window cuts here); md5_60 oracle-parity paths last ---------
     "search_map_scoring": q_search_map_scoring,
     "tpch_q1": q_tpch_q1,
     "window_top_order": q_window_top_order,
@@ -1494,8 +1572,6 @@ SPARK_QUERIES = {
     "sessionize": q_sessionize,
     "hourly_windows": q_hourly_windows,
     "sliding_windows": q_sliding_windows,
-    # -- block 3: remaining green rows (r02/r03 carryover-green when the
-    # 50-row window cuts here); md5_60 oracle-parity paths last ---------
     "dedup_exact": q_dedup_exact,
     "knn_bruteforce": q_knn_bruteforce,
     "token_budget": q_token_budget,
