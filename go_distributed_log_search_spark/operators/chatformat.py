@@ -199,3 +199,109 @@ def boilerplate_scrub(turns: DataFrame, min_convs: int = 12) -> DataFrame:
         )
         .orderBy("role")
     )
+
+
+def dialog_stats(turns: DataFrame) -> DataFrame:
+    """Per-conversation dialogue-composition stats: (conv_id, n_turns,
+    n_user, n_assistant, n_tool, max_tool_chain, assistant_tokens).
+
+    max_tool_chain = the longest run of consecutive tool turns (agentic
+    tool-call chains) via the gaps-and-islands trick: within a
+    conversation, consecutive tool turns share (turn_idx - row_number)
+    — one extra window over the tool subset only, then a tiny
+    per-(conv, island) count. Everything shuffles on conv_id, so all
+    three jobs co-partition.
+    """
+    base = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_assistant"),
+        F.sum((F.col("role") == "tool").cast("long")).alias("n_tool"),
+        F.sum(
+            F.when(
+                F.col("role") == "assistant",
+                ws_token_count_expr(F.col("text")).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("assistant_tokens"),
+    )
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    islands = (
+        turns.filter(F.col("role") == "tool")
+        .select(
+            "conv_id",
+            "turn_idx",
+            (F.col("turn_idx") - F.row_number().over(w)).alias("_isl"),
+        )
+        .groupBy("conv_id", "_isl")
+        .agg(F.count(F.lit(1)).alias("_chain"))
+        .groupBy("conv_id")
+        .agg(F.max("_chain").alias("max_tool_chain"))
+    )
+    return (
+        base.join(islands, "conv_id", "left")
+        .withColumn("max_tool_chain", F.coalesce("max_tool_chain", F.lit(0)))
+        .orderBy("conv_id")
+    )
+
+
+def sft_pairs(turns: DataFrame) -> DataFrame:
+    """SFT-example extraction summary: adjacent (user -> assistant) turn
+    pairs are the unit every supervised-fine-tuning pipeline exports.
+    Output per conversation: (conv_id, n_pairs, prompt_tokens,
+    completion_tokens); conversations with no extractable pair are
+    omitted (nothing to export).
+
+    One lag() window on the same (conv_id, turn_idx) ordering as the
+    rest of the chatformat suite; the aggregate reuses the partitioning.
+    """
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    tok = ws_token_count_expr(F.col("text")).cast("long")
+    flagged = turns.select(
+        "conv_id",
+        "role",
+        tok.alias("_tok"),
+        F.lag("role").over(w).alias("_prev_role"),
+        F.lag(tok).over(w).alias("_prev_tok"),
+    )
+    pairs = flagged.filter(
+        (F.col("role") == "assistant") & (F.col("_prev_role") == "user")
+    )
+    return (
+        pairs.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_prev_tok").alias("prompt_tokens"),
+            F.sum("_tok").alias("completion_tokens"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def pii_redact_report(turns: DataFrame) -> DataFrame:
+    """Per-role PII redaction report: (role, n_turns, n_redacted,
+    chars_before, chars_after) after scrubbing emails then IPv4s
+    (textstats.pii_scrub_expr — order is deterministic because the email
+    pattern can consume a dotted quad).
+
+    Pure map-side expressions + one partial-agg'd groupBy on a
+    cardinality-4 key: the scan is the whole cost at 100 TB, as a
+    redaction audit should be.
+    """
+    from .textstats import pii_scrub_expr
+
+    red = turns.select(
+        "role",
+        F.length("text").alias("_before"),
+        F.length(pii_scrub_expr(F.col("text"))).alias("_after"),
+        (pii_scrub_expr(F.col("text")) != F.col("text")).alias("_hit"),
+    )
+    return (
+        red.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("_hit").cast("long")).alias("n_redacted"),
+            F.sum(F.col("_before").cast("long")).alias("chars_before"),
+            F.sum(F.col("_after").cast("long")).alias("chars_after"),
+        )
+        .orderBy("role")
+    )

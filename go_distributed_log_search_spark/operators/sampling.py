@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .textstats import ws_token_count_expr
+
 
 def _order_hash(id_col: str):
     """Portable deterministic order key: md5 of the stringified id."""
@@ -144,4 +146,43 @@ def mix_rebalance(
         df.join(F.broadcast(fracs), source_col)
         .filter(bucket < F.col("_frac") * F.lit(16 ** 7))
         .drop("_frac")
+    )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit: shard =
+    md5-prefix(id) % n_shards, reported as (shard, n_docs, total_tokens,
+    n_sources).
+
+    The assignment is pure map-side (same md5-prefix trick as
+    mix_rebalance — stable under reruns, resharding, and incremental
+    appends; a doc's shard depends only on its id), so the export is a
+    single scan + partitionBy(shard) write at scale; the audit here is
+    one partial-agg'd groupBy on an n_shards-sized key. The balance
+    check is the point: a skewed shard at 10^12 rows is a straggler in
+    every downstream training-reader epoch.
+    """
+    shard = (
+        F.conv(F.substring(_order_hash(id_col), 1, 7), 16, 10).cast("long")
+        % n_shards
+    ).alias("shard")
+    return (
+        df.select(
+            shard,
+            F.col(source_col),
+            ws_token_count_expr(F.col(text_col)).cast("long").alias("_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("total_tokens"),
+            F.count_distinct(source_col).alias("n_sources"),
+        )
+        .orderBy("shard")
     )

@@ -1729,6 +1729,82 @@ FROM (SELECT role, {_TURN_FP} AS fp FROM transcripts) t
 GROUP BY role ORDER BY role
 """
 
+ORACLES["dialog_stats"] = """WITH_PRELUDE,
+base AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+    CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_assistant,
+    CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+    CAST(SUM(CASE WHEN role = 'assistant'
+             THEN len(regexp_extract_all(text, '\\S+')) ELSE 0 END) AS BIGINT)
+      AS assistant_tokens
+  FROM transcripts GROUP BY conv_id
+),
+isl AS (
+  SELECT conv_id,
+    turn_idx - row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS g
+  FROM transcripts WHERE role = 'tool'
+),
+chains AS (
+  SELECT conv_id, CAST(MAX(c) AS BIGINT) AS max_tool_chain FROM (
+    SELECT conv_id, g, COUNT(*) AS c FROM isl GROUP BY 1, 2
+  ) GROUP BY conv_id
+)
+SELECT base.conv_id, n_turns, n_user, n_assistant, n_tool,
+  COALESCE(max_tool_chain, 0) AS max_tool_chain, assistant_tokens
+FROM base LEFT JOIN chains USING (conv_id) ORDER BY conv_id
+"""
+
+ORACLES["sft_pairs"] = """WITH_PRELUDE,
+lagged AS (
+  SELECT conv_id, role,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok,
+    lag(role) OVER w AS prev_role,
+    lag(CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)) OVER w
+      AS prev_tok
+  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(SUM(prev_tok) AS BIGINT) AS prompt_tokens,
+  CAST(SUM(tok) AS BIGINT) AS completion_tokens
+FROM lagged WHERE role = 'assistant' AND prev_role = 'user'
+GROUP BY conv_id ORDER BY conv_id
+"""
+
+_SCRUBBED = (
+  "regexp_replace(regexp_replace(text,"
+  " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+  " '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')"
+)
+
+ORACLES["pii_redact"] = f"""WITH_PRELUDE,
+red AS (
+  SELECT role, length(text) AS b, length({_SCRUBBED}) AS a,
+         ({_SCRUBBED} <> text) AS hit
+  FROM transcripts
+)
+SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted,
+  CAST(SUM(b) AS BIGINT) AS chars_before,
+  CAST(SUM(a) AS BIGINT) AS chars_after
+FROM red GROUP BY role ORDER BY role
+"""
+
+ORACLES["shard_assign"] = """
+WITH s AS (
+  SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 8)
+           AS shard,
+         source,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(tok) AS BIGINT) AS total_tokens,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM s GROUP BY shard ORDER BY shard
+"""
+
 # repeated n-gram spans (operators/dedup.py:repeated_ngram_spans)
 
 ORACLES["ngram_spans"] = """

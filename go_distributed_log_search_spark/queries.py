@@ -1442,6 +1442,35 @@ def q_ip_normalize(spark, sf_dir):
     )
 
 
+def q_dialog_stats(spark, sf_dir):
+    """Per-conversation dialogue composition (role counts, longest
+    agentic tool chain via gaps-and-islands, assistant token volume) —
+    operators/chatformat.py:dialog_stats. All jobs shuffle on conv_id."""
+    return chatformat.dialog_stats(_t(spark, sf_dir))
+
+
+def q_sft_pairs(spark, sf_dir):
+    """SFT-example extraction summary: adjacent user->assistant pairs
+    with prompt/completion token volumes per conversation —
+    operators/chatformat.py:sft_pairs."""
+    return chatformat.sft_pairs(_t(spark, sf_dir))
+
+
+def q_pii_redact(spark, sf_dir):
+    """Per-role PII redaction audit (emails then IPv4s scrubbed; counts
+    and char deltas) — operators/chatformat.py:pii_redact_report. Pure
+    scan + 4-key aggregate."""
+    return chatformat.pii_redact_report(_t(spark, sf_dir))
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic training-shard assignment + balance audit (md5
+    prefix % 8) — operators/sampling.py:assign_shards."""
+    from .operators import sampling
+
+    return sampling.assign_shards(_docs(spark, sf_dir), n_shards=8)
+
+
 def q_role_alternation(spark, sf_dir):
     """Chat-format integrity report over the transcripts table: one row
     per violation type (missing system turn, same-role run, tool turn
@@ -1551,6 +1580,10 @@ SPARK_QUERIES = {
     "ngram_spans": q_ngram_spans,
     "chunk_docs": q_chunk_docs,
     "quant_ann_topk": q_quant_ann_topk,
+    "dialog_stats": q_dialog_stats,
+    "sft_pairs": q_sft_pairs,
+    "pii_redact": q_pii_redact,
+    "shard_assign": q_shard_assign,
     # -- block 2: long-green fillers to round out the 50-row window -----
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
@@ -1559,12 +1592,12 @@ SPARK_QUERIES = {
     "turn_ordering": q_ordering,
     "demo_e2e": q_demo_e2e,
     "demo_search_struct": q_demo_search_struct,
+    # -- block 3: remaining green rows (r02/r03 carryover-green when the
+    # 50-row window cuts here); md5_60 oracle-parity paths last ---------
     "demo_ingest_types": q_demo_ingest_types,
     "search_substring_topk": q_search_substring_topk,
     "search_field_query": q_search_field_query,
     "search_bool_not": q_search_bool_not,
-    # -- block 3: remaining green rows (r02/r03 carryover-green when the
-    # 50-row window cuts here); md5_60 oracle-parity paths last ---------
     "search_map_scoring": q_search_map_scoring,
     "tpch_q1": q_tpch_q1,
     "window_top_order": q_window_top_order,

@@ -169,3 +169,72 @@ def test_context_truncate_pandas_free_plan(spark):
     plan = chatformat.context_truncate(df)._jdf.queryExecution().executedPlan(
     ).toString()
     assert "EvalPython" not in plan
+
+
+def test_dialog_stats_tool_chains(spark):
+    rows = [
+        ("a", 0, "system", "s"),
+        ("a", 1, "user", "u u"),
+        ("a", 2, "tool", "t"),
+        ("a", 3, "tool", "t"),
+        ("a", 4, "tool", "t"),
+        ("a", 5, "assistant", "x y z"),
+        ("a", 6, "tool", "t"),
+        ("b", 0, "system", "s"),
+        ("b", 1, "user", "hi"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r.conv_id: r for r in chatformat.dialog_stats(df).collect()}
+    a = out["a"]
+    assert (a.n_turns, a.n_user, a.n_assistant, a.n_tool) == (7, 1, 1, 4)
+    assert a.max_tool_chain == 3  # turns 2-4; the lone turn 6 is shorter
+    assert a.assistant_tokens == 3
+    b = out["b"]
+    assert (b.n_tool, b.max_tool_chain) == (0, 0)  # no-tool conv -> 0
+
+
+def test_sft_pairs_extraction(spark):
+    rows = [
+        ("a", 0, "system", "s"),
+        ("a", 1, "user", "one two three"),      # 3 prompt toks
+        ("a", 2, "assistant", "four five"),     # pair 1: 2 completion toks
+        ("a", 3, "user", "six"),
+        ("a", 4, "tool", "t"),                  # breaks adjacency
+        ("a", 5, "assistant", "seven"),         # NOT a pair (prev=tool)
+        ("c", 0, "system", "s"),                # conv with no pair: omitted
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = chatformat.sft_pairs(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.conv_id, r.n_pairs, r.prompt_tokens, r.completion_tokens) == (
+        "a", 1, 3, 2)
+
+
+def test_pii_redact_report(spark):
+    rows = [
+        ("a", 0, "user", "mail me at bob@example.com please"),
+        ("a", 1, "assistant", "server 10.1.2.3 is down"),
+        ("a", 2, "assistant", "nothing sensitive"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r.role: r for r in chatformat.pii_redact_report(df).collect()}
+    assert out["user"].n_redacted == 1
+    assert out["assistant"].n_redacted == 1
+    assert out["assistant"].n_turns == 2
+    # "bob@example.com" (15 chars) -> "<EMAIL>" (7): delta -8
+    assert out["user"].chars_after == out["user"].chars_before - 8
+
+
+def test_assign_shards_covers_and_balances(spark):
+    from go_distributed_log_search_spark.operators import sampling
+
+    rows = [(i, "s%d" % (i % 3), "w " * 10) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = sampling.assign_shards(df, n_shards=8).collect()
+    assert sum(r.n_docs for r in out) == 400          # total conservation
+    assert {r.shard for r in out} == set(range(8))    # every shard hit
+    assert all(r.total_tokens == r.n_docs * 10 for r in out)
+    # determinism: re-run gives identical assignment
+    out2 = sampling.assign_shards(df, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
