@@ -329,6 +329,19 @@ def _scaling_probe(mult: int, levels=(8, 32), rounds: int = 2,
             time.sleep(30)
             waited += 1
             cap = _host_capacity_canary()
+        # Capacity-ceiling early exit: once the wait budget is spent and
+        # the host still offers < target*big cores, NO pair at these
+        # levels can reach the target (pair efficiency is bounded by
+        # capacity/big — measured r4: capacity 22.4 -> ceiling 0.70,
+        # observed pairs 0.53-0.71). Two rounds are kept as evidence;
+        # further rounds only burn the wall budget the (small*?/2) fallback
+        # levels — whose ceiling IS attainable under this capacity —
+        # need to run before the driver's timeout.
+        if waited >= max_waits and cap / big < target and rnd >= 2:
+            _log(f"bench: capacity ceiling {cap / big:.2f} < target "
+                 f"{target} at levels {levels} — ending probe early for "
+                 f"fallback levels")
+            break
         by_lvl: dict[int, dict] = {}
         for lvl in levels:
             # the wider level is cheap per run and noisier — sample it more

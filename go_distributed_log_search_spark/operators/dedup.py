@@ -602,3 +602,74 @@ def repeated_ngram_spans(
         .orderBy(F.col("n_docs").desc(), F.col("n_hits").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def dup_cluster_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-dup cluster-size histogram: (cluster_size, n_clusters,
+    n_docs) — the corpus-health metric behind every dedup report (how
+    much of the corpus is redundant, and in how big a clump). Two
+    aggregates: fingerprint -> size (the exact_dedup shuffle), then the
+    tiny size -> count rollup. Singleton clusters included: row 1 is
+    the unique-document count.
+    """
+    sizes = (
+        df.select(fingerprint_expr(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", F.col("cluster_size") * F.col("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def cross_source_leakage(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source exact-dup leakage: for each source pair, how many
+    distinct normalized fingerprints they share — the train/eval split
+    integrity check (a doc present in two sources leaks across any
+    split drawn on source boundaries).
+
+    Shape: distinct (fp, source) -> collect_sorted source set per fp
+    (ONE shuffle on fp; set size is bounded by the source vocabulary,
+    not corpus size) -> in-row pair expansion via HOFs -> tiny
+    (src_a, src_b) rollup. No self-join: the join-based formulation
+    shuffles the fp table twice and fans out the same pairs anyway.
+    """
+    fps = df.select(
+        fingerprint_expr(F.col(text_col)).alias("fp"), F.col(source_col)
+    ).distinct()
+    sets = fps.groupBy("fp").agg(
+        F.array_sort(F.collect_set(source_col)).alias("_srcs")
+    ).filter(F.size("_srcs") >= 2)
+    # expand sorted source arrays to (a, b) pairs, a < b, in-row
+    idx = F.sequence(F.lit(0), F.size("_srcs") - 2)
+    pairs = sets.select(
+        "fp",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.slice(F.col("_srcs"), i + 2, F.size("_srcs")),
+                        lambda b: F.struct(
+                            F.col("_srcs")[i].alias("src_a"), b.alias("src_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_pair"),
+    )
+    return (
+        pairs.select("fp", "_pair.src_a", "_pair.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count_distinct("fp").alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), "src_a", "src_b")
+    )

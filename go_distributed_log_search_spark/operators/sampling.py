@@ -186,3 +186,86 @@ def assign_shards(
         )
         .orderBy("shard")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    tau: float = 0.7,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source mixture weights: w_s = n_s^tau / sum_i
+    n_i^tau — the multilingual/multi-domain upsampling rule (tau < 1
+    flattens the mixture toward rare sources; tau = 1 is proportional,
+    tau = 0 uniform). Output: (source, n_docs, mix_weight) with
+    mix_weight rounded to 6 dp for cross-engine float stability.
+
+    One vocabulary-of-sources-sized aggregate + a broadcast scalar total:
+    the scan is the entire corpus cost, the mixture math is control-plane
+    sized. Feed the weights to mix_rebalance's targets to realize the
+    mix.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = counts.withColumn(
+        "_p", F.pow(F.col("n_docs").cast("double"), F.lit(float(tau)))
+    )
+    total = powed.agg(F.sum("_p").alias("_tot"))
+    return (
+        powed.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("_p") / F.col("_tot"), 6).alias("mix_weight"),
+        )
+        .orderBy(source_col)
+    )
+
+
+def length_trim(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-source length-outlier trim report: exact token-length
+    quantile cutoffs [lo_q, hi_q] and how many docs fall outside —
+    the standard too-short/too-long corpus filter, with the thresholds
+    LEARNED per source instead of hard-coded.
+
+    Exact interpolated percentile (Spark `percentile` == DuckDB
+    `quantile_cont`) for oracle parity; at 10^12 rows swap in
+    approx_percentile (t-digest, map-side combinable) — same call
+    shape, documented trade as len_percentiles. Two aggregates over one
+    shuffle key (source); the cutoff join is a broadcast (one row per
+    source).
+    """
+    toks = df.select(
+        source_col,
+        ws_token_count_expr(F.col(text_col)).cast("long").alias("_n"),
+    )
+    cuts = toks.groupBy(source_col).agg(
+        F.percentile(F.col("_n"), F.lit(float(lo_q))).alias("lo_cut"),
+        F.percentile(F.col("_n"), F.lit(float(hi_q))).alias("hi_cut"),
+    )
+    flagged = toks.join(F.broadcast(cuts), source_col)
+    return (
+        flagged.groupBy(source_col, "lo_cut", "hi_cut")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("_n") < F.col("lo_cut")).cast("long")).alias(
+                "n_too_short"
+            ),
+            F.sum((F.col("_n") > F.col("hi_cut")).cast("long")).alias(
+                "n_too_long"
+            ),
+        )
+        .select(
+            source_col,
+            F.round("lo_cut", 4).alias("lo_cut"),
+            F.round("hi_cut", 4).alias("hi_cut"),
+            "n_docs",
+            "n_too_short",
+            "n_too_long",
+        )
+        .orderBy(source_col)
+    )

@@ -1805,6 +1805,61 @@ SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM s GROUP BY shard ORDER BY shard
 """
 
+ORACLES["temperature_mix"] = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source
+),
+p AS (SELECT source, n_docs, pow(CAST(n_docs AS DOUBLE), 0.7) AS pp FROM c),
+t AS (SELECT SUM(pp) AS tot FROM p)
+SELECT source, n_docs, round(pp / tot, 6) AS mix_weight
+FROM p CROSS JOIN t ORDER BY source
+"""
+
+ORACLES["length_trim"] = """
+WITH toks AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+  FROM documents
+),
+cuts AS (
+  SELECT source, quantile_cont(n, 0.05) AS lo_cut,
+         quantile_cont(n, 0.95) AS hi_cut
+  FROM toks GROUP BY source
+)
+SELECT t.source, round(lo_cut, 4) AS lo_cut, round(hi_cut, 4) AS hi_cut,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN n < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+  CAST(SUM(CASE WHEN n > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long
+FROM toks t JOIN cuts USING (source)
+GROUP BY t.source, lo_cut, hi_cut ORDER BY t.source
+"""
+
+ORACLES["dup_cluster_stats"] = """WITH_PRELUDE,
+sizes AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+         CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM transcripts GROUP BY 1
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+ORACLES["cross_source_leakage"] = """WITH_PRELUDE,
+fps AS (
+  SELECT DISTINCT
+    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+    role AS source
+  FROM transcripts
+)
+SELECT a.source AS src_a, b.source AS src_b,
+  CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY n_shared DESC, src_a, src_b
+"""
+
 # repeated n-gram spans (operators/dedup.py:repeated_ngram_spans)
 
 ORACLES["ngram_spans"] = """

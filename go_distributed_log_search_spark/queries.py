@@ -1471,6 +1471,42 @@ def q_shard_assign(spark, sf_dir):
     return sampling.assign_shards(_docs(spark, sf_dir), n_shards=8)
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixture weights (tau=0.7, the
+    multilingual upsampling rule) — operators/sampling.py:
+    temperature_mix. Vocabulary-sized aggregate + broadcast total."""
+    from .operators import sampling
+
+    return sampling.temperature_mix(_docs(spark, sf_dir), tau=0.7)
+
+
+def q_length_trim(spark, sf_dir):
+    """Per-source learned length-outlier trim report (exact p05/p95
+    token-count cutoffs; approx_percentile is the documented 10^12-row
+    swap) — operators/sampling.py:length_trim."""
+    from .operators import sampling
+
+    return sampling.length_trim(_docs(spark, sf_dir))
+
+
+def q_dup_cluster_stats(spark, sf_dir):
+    """Exact-dup cluster-size histogram (corpus redundancy health
+    metric) — operators/dedup.py:dup_cluster_stats. Run over the
+    transcripts table, where canned turn texts form real clusters (the
+    synthetic documents are all unique — a 1-row histogram gates
+    nothing)."""
+    return dedup.dup_cluster_stats(_t(spark, sf_dir), id_col="conv_id")
+
+
+def q_cross_source_leakage(spark, sf_dir):
+    """Cross-partition exact-dup leakage counts per partition pair
+    (split integrity check) — operators/dedup.py:cross_source_leakage.
+    One shuffle on fp; in-row pair expansion, no self-join. Partitioned
+    by role on the transcripts table (six non-empty pairs; the synthetic
+    documents are source-disjoint and would gate a 0-row result)."""
+    return dedup.cross_source_leakage(_t(spark, sf_dir), source_col="role")
+
+
 def q_role_alternation(spark, sf_dir):
     """Chat-format integrity report over the transcripts table: one row
     per violation type (missing system turn, same-role run, tool turn
@@ -1584,16 +1620,20 @@ SPARK_QUERIES = {
     "sft_pairs": q_sft_pairs,
     "pii_redact": q_pii_redact,
     "shard_assign": q_shard_assign,
+    "temperature_mix": q_temperature_mix,
+    "length_trim": q_length_trim,
+    "dup_cluster_stats": q_dup_cluster_stats,
+    "cross_source_leakage": q_cross_source_leakage,
     # -- block 2: long-green fillers to round out the 50-row window -----
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
     "pipeline_agg_terms": q_agg_terms,
+    # -- block 3: remaining green rows (r02/r03 carryover-green when the
+    # 50-row window cuts here); md5_60 oracle-parity paths last ---------
     "pipeline_enrich": q_enrich,
     "turn_ordering": q_ordering,
     "demo_e2e": q_demo_e2e,
     "demo_search_struct": q_demo_search_struct,
-    # -- block 3: remaining green rows (r02/r03 carryover-green when the
-    # 50-row window cuts here); md5_60 oracle-parity paths last ---------
     "demo_ingest_types": q_demo_ingest_types,
     "search_substring_topk": q_search_substring_topk,
     "search_field_query": q_search_field_query,
