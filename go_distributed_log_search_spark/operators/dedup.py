@@ -673,3 +673,75 @@ def cross_source_leakage(
         .agg(F.count_distinct("fp").alias("n_shared"))
         .orderBy(F.col("n_shared").desc(), "src_a", "src_b")
     )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mod: int = 4,
+    min_tokens: int = 2,
+    min_docs: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Content-defined-chunking dedup (the rsync/LBFS/FastCDC idea at
+    token granularity): a token whose hash is 0 mod ``mod`` OPENS a new
+    chunk, so chunk boundaries depend on content, not position — an
+    insertion near the start of a document shifts every offset but the
+    boundaries downstream re-synchronize, which fixed-width shingles
+    never do. Shared chunks across documents expose partially-duplicated
+    passages that exact dedup (whole doc) and n-gram spans (fixed n)
+    both miss at their granularity.
+
+    Output: (chunk, n_docs, n_hits) for the top-k chunks of >=
+    ``min_tokens`` tokens shared by >= ``min_docs`` distinct documents;
+    order (n_docs desc, n_hits desc, chunk asc), fully deterministic.
+
+    Shape: posexplode -> per-doc running sum of boundary flags (ONE
+    shuffle on id) -> per-(doc, chunk) assembly via sorted-struct
+    collect -> chunk rollup (second shuffle). The boundary hash is an
+    md5-prefix for DuckDB oracle parity; the 100 TB path swaps both the
+    boundary test and the chunk group key to xxhash64 (8-byte shuffle
+    rows) and joins example text back for the top-k only — the same
+    md5_60/xxhash64 split as minhash_lsh_dedup.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col), "default")).alias("pos", "tok"),
+    )
+    is_boundary = (
+        F.conv(
+            F.substring(F.md5(F.col("tok").cast("binary")), 1, 2), 16, 10
+        ).cast("int")
+        % mod
+        == 0
+    ).cast("long")
+    from pyspark.sql import Window as _W
+
+    run = (
+        _W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    marked = toks.withColumn("chunk_id", F.sum(is_boundary).over(run))
+    chunks = marked.groupBy(id_col, "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("chunk"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    return (
+        chunks.filter(F.col("n_tok") >= min_tokens)
+        .groupBy("chunk")
+        .agg(
+            F.count_distinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("n_hits").desc(), F.col("chunk"))
+        .limit(k)
+    )

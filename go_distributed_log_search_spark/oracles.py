@@ -1860,6 +1860,41 @@ GROUP BY a.source, b.source
 ORDER BY n_shared DESC, src_a, src_b
 """
 
+ORACLES["cdc_chunks"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+t AS (
+  SELECT doc_id, unnest(generate_series(1, len(tokens))) AS pos, tokens
+  FROM toks
+),
+t2 AS (SELECT doc_id, pos, tokens[pos] AS tok FROM t),
+b AS (
+  SELECT doc_id, pos, tok,
+    CASE WHEN ('0x' || substr(md5(tok), 1, 2))::INT % 4 = 0
+         THEN 1 ELSE 0 END AS is_b
+  FROM t2
+),
+c AS (
+  SELECT doc_id, pos, tok,
+         SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+  FROM b
+),
+chunks AS (
+  SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY pos) AS chunk,
+         COUNT(*) AS n_tok
+  FROM c GROUP BY 1, 2
+)
+SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM chunks WHERE n_tok >= 2
+GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_hits DESC, chunk LIMIT 20
+"""
+
 # repeated n-gram spans (operators/dedup.py:repeated_ngram_spans)
 
 ORACLES["ngram_spans"] = """

@@ -1507,6 +1507,17 @@ def q_cross_source_leakage(spark, sf_dir):
     return dedup.cross_source_leakage(_t(spark, sf_dir), source_col="role")
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined-chunking dedup over documents: top shared
+    variable-size chunks (boundary = md5-prefix(token) % 4 == 0) —
+    operators/dedup.py:cdc_chunk_dedup. Catches partially-duplicated
+    passages that whole-doc dedup and fixed-n spans miss; boundaries
+    re-sync after insertions (the rsync/FastCDC property)."""
+    return dedup.cdc_chunk_dedup(
+        _docs(spark, sf_dir), mod=4, min_tokens=2, min_docs=2, k=20
+    )
+
+
 def q_role_alternation(spark, sf_dir):
     """Chat-format integrity report over the transcripts table: one row
     per violation type (missing system turn, same-role run, tool turn
@@ -1624,12 +1635,13 @@ SPARK_QUERIES = {
     "length_trim": q_length_trim,
     "dup_cluster_stats": q_dup_cluster_stats,
     "cross_source_leakage": q_cross_source_leakage,
+    "cdc_chunks": q_cdc_chunks,
     # -- block 2: long-green fillers to round out the 50-row window -----
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
-    "pipeline_agg_terms": q_agg_terms,
     # -- block 3: remaining green rows (r02/r03 carryover-green when the
     # 50-row window cuts here); md5_60 oracle-parity paths last ---------
+    "pipeline_agg_terms": q_agg_terms,
     "pipeline_enrich": q_enrich,
     "turn_ordering": q_ordering,
     "demo_e2e": q_demo_e2e,

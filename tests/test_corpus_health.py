@@ -78,3 +78,37 @@ def test_cross_source_leakage_normalizes_text(spark):
     )
     out = dedup.cross_source_leakage(df).collect()
     assert len(out) == 1 and out[0].n_shared == 1
+
+
+def test_cdc_chunk_boundaries_resync_after_insertion(spark):
+    # the CDC property: an insertion shifts positions but downstream
+    # chunks re-synchronize, so doc1 and doc2 share their tail chunks
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    shifted = "INSERTED " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, shifted)], ["doc_id", "text"]
+    )
+    out = dedup.cdc_chunk_dedup(df, mod=4, min_tokens=2, min_docs=2, k=50)
+    rows = out.collect()
+    # boundaries (md5-prefix % 4 == 0): alpha, beta, epsilon — so both
+    # docs chunk into [alpha][beta gamma delta][epsilon..kappa] after the
+    # insertion point, and the two multi-token chunks are shared
+    assert [r.chunk for r in rows] == [
+        "beta gamma delta",
+        "epsilon zeta eta theta iota kappa",
+    ]
+    assert all(r.n_docs == 2 for r in rows)
+
+
+def test_cdc_chunk_determinism_and_counts(spark):
+    df = spark.createDataFrame(
+        [(i, "hash column a slow hash column b fast") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    out1 = dedup.cdc_chunk_dedup(df, min_docs=2, k=10).collect()
+    out2 = dedup.cdc_chunk_dedup(df, min_docs=2, k=10).collect()
+    assert out1 == out2                      # deterministic
+    # boundaries: hash, a -> chunks [hash column][a slow][hash column b fast]
+    assert len(out1) == 3
+    assert all(r.n_docs == 3 for r in out1)  # identical docs share all
+    assert all(r.n_hits >= r.n_docs for r in out1)
