@@ -510,3 +510,62 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "qdot", "rank")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_min_id: int = 10,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    k-means-style clustering + intra-cluster cosine pruning. A vector is
+    removed when a SAME-cluster vector with a strictly lower id is within
+    ``threshold`` cosine — greedy keep-lowest-id, fully deterministic.
+    Output: one row per cluster (cell, n_vecs, n_removed), cell asc.
+
+    Scale shape: centroids broadcast (the deterministic seed rule of
+    seed_centroids; production swaps in operators.cluster.kmeans output —
+    routing identical), ONE corpus scan assigns cells via the fenced
+    ivf_cells_udf, then applyInPandas runs one BLAS gram matrix per
+    cluster. Pairwise work is confined within clusters — the whole point
+    of SemDeDup vs all-pairs: O(sum c_i^2), not O(n^2), and each cluster
+    is an independent task keyed by the cell id (= the natural partition
+    column of the 100 TB embedding table). Oversized clusters are handled
+    upstream by raising n_cells (finer k-means), not by this kernel.
+    """
+    np = _np()
+    spark = corpus.sparkSession
+    _, cent_mat, cent_norms = seed_centroids(
+        corpus, n_cells, id_col=id_col, vec_col=vec_col, min_id=seed_min_id
+    )
+    assign = ivf_cells_udf(spark, cent_mat, cent_norms, nprobe=1).asNondeterministic()
+    assigned = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        assign(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+
+    def _prune(key, pdf):
+        pdf = pdf.sort_values("_id")
+        m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n = np.where(n == 0.0, 1.0, n)
+        sims = np.round((m @ m.T) / n[:, None] / n[None, :], 6)
+        # strictly-lower-id neighbor within threshold -> removed
+        dup = (np.tril(sims >= threshold, k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {
+                "cell": [int(key[0])],
+                "n_vecs": [len(pdf)],
+                "n_removed": [int(dup.sum())],
+            }
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(_prune, schema="cell int, n_vecs bigint, n_removed bigint")
+        .orderBy("cell")
+    )

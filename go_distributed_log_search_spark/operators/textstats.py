@@ -314,3 +314,125 @@ def lm_perplexity(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("_ppl"), 4).alias("avg_ppl"),
     )
+
+
+# ------------------------------------------------------------ filter funnel
+
+def filter_cascade(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-filter cascade accounting — the kill-funnel report every
+    corpus-cleaning pipeline ships (what Dolma/RefinedWeb publish as
+    'docs surviving each filter'). Filters apply IN ORDER; a document is
+    charged to the FIRST filter that rejects it, so the stages partition
+    the corpus and the funnel is exact, not marginal.
+
+    Stages (all deterministic Catalyst expressions, engine-replayable):
+      1 min_tokens   — >= 5 default-tokenizer tokens
+      2 max_chars    — <= 2000 characters
+      3 punct_ratio  — punctuation/char ratio <= 0.30
+      4 repetition   — distinct-token ratio >= 0.30
+      5 stopwords    — stopword ratio >= 0.01 (gibberish guard)
+
+    Output: (stage, filter_name, n_in, n_killed, n_out) + stage 6 'pass'
+    with the survivor count; ordered by stage. ONE corpus scan, one tiny
+    groupBy on the kill stage, cumulative arithmetic over <=6 rows in a
+    single-partition window (bounded by the number of FILTERS, not data
+    — the safe kind of global window).
+    """
+    text = F.col(text_col)
+    toks = tokenize(text, "default")
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = (
+        n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    ) / F.greatest(n_chars, F.lit(1)).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(
+        n_tok, F.lit(1)
+    ).cast("double")
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ) / F.greatest(n_tok, F.lit(1)).cast("double")
+
+    stage = (
+        F.when(n_tok < 5, F.lit(1))
+        .when(n_chars > 2000, F.lit(2))
+        .when(punct > 0.30, F.lit(3))
+        .when(distinct_ratio < 0.30, F.lit(4))
+        .when(stop_ratio < 0.01, F.lit(5))
+        .otherwise(F.lit(6))
+    )
+    names = F.array(
+        *[
+            F.lit(s)
+            for s in (
+                "min_tokens",
+                "max_chars",
+                "punct_ratio",
+                "repetition",
+                "stopwords",
+                "pass",
+            )
+        ]
+    )
+    killed = df.select(stage.alias("stage")).groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_killed")
+    )
+    # densify: every stage gets a row even when it kills nothing
+    stages = df.sparkSession.range(1, 7).select(F.col("id").cast("int").alias("stage"))
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy("stage").rowsBetween(_W.unboundedPreceding, -1)
+    dense = (
+        stages.join(killed, "stage", "left")
+        .withColumn("n_killed", F.coalesce("n_killed", F.lit(0)))
+        .withColumn("_before", F.coalesce(F.sum("n_killed").over(w), F.lit(0)))
+    )
+    total = F.sum("n_killed").over(_W.partitionBy())
+    return (
+        dense.withColumn("n_in", total - F.col("_before"))
+        .withColumn(
+            "n_killed", F.when(F.col("stage") == 6, F.lit(0)).otherwise(F.col("n_killed"))
+        )
+        .withColumn("n_out", F.col("n_in") - F.col("n_killed"))
+        .select(
+            "stage",
+            names[F.col("stage") - 1].alias("filter_name"),
+            "n_in",
+            "n_killed",
+            "n_out",
+        )
+        .orderBy("stage")
+    )
+
+
+def zipf_slope(
+    df: DataFrame, group_col: str = "source", text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Zipf's-law fit per group: regress ln(freq) on ln(rank) over the
+    top-``top_n`` terms and report the slope (natural text ~ -1; a slope
+    far from -1 flags synthetic/templated or boilerplate-heavy sources —
+    a standard corpus-health screen). Rank ties break (freq desc, term
+    asc) so both engines cut the same top-N. Shape: explode -> per-group
+    term counts (one shuffle) -> WindowGroupLimit-pruned top-N per group
+    -> regr_slope aggregate (Spark 3.4+ built-in, map-side partial).
+    Output: (group, n_terms, slope) rounded to 4 dp, group asc."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokenize(F.col(text_col), "default")).alias("term"),
+    )
+    counts = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("freq"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("grp").orderBy(F.col("freq").desc(), F.col("term"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                F.regr_slope(F.log(F.col("freq").cast("double")), F.log("rank")), 4
+            ).alias("slope"),
+        )
+        .orderBy("grp")
+    )

@@ -1982,3 +1982,91 @@ def build_oracles(sf_dir: str | None = None) -> dict[str, str]:
     for name, sql in ORACLES.items():
         out[name] = sql.replace("WITH_PRELUDE", prelude)
     return out
+
+# quality-filter cascade funnel (operators/textstats.py:filter_cascade)
+
+ORACLES["filter_cascade"] = f"""WITH {_DOC_TOKS},
+feat AS (
+  SELECT len(tokens) AS n_tok, length(text) AS n_chars,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+      / CAST(greatest(length(text), 1) AS DOUBLE) AS punct,
+    len(list_distinct(tokens))
+      / CAST(greatest(len(tokens), 1) AS DOUBLE) AS dratio,
+    len(list_filter(tokens, x -> list_contains(
+        ['the','a','an','and','or','of','to','in','is','it'], x)))
+      / CAST(greatest(len(tokens), 1) AS DOUBLE) AS sratio
+  FROM toks
+),
+staged AS (
+  SELECT CASE WHEN n_tok < 5 THEN 1 WHEN n_chars > 2000 THEN 2
+              WHEN punct > 0.30 THEN 3 WHEN dratio < 0.30 THEN 4
+              WHEN sratio < 0.01 THEN 5 ELSE 6 END AS stage
+  FROM feat
+),
+killed AS (
+  SELECT s.stage, COALESCE(k.cnt, 0) AS cnt
+  FROM (SELECT unnest(generate_series(1, 6)) AS stage) s
+  LEFT JOIN (SELECT stage, COUNT(*) AS cnt FROM staged GROUP BY stage) k
+    USING (stage)
+),
+cum AS (
+  SELECT stage, cnt,
+    COALESCE(SUM(cnt) OVER (ORDER BY stage
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_,
+    SUM(cnt) OVER () AS total
+  FROM killed
+)
+SELECT CAST(stage AS INT) AS stage,
+  (['min_tokens','max_chars','punct_ratio','repetition','stopwords','pass'])[stage]
+    AS filter_name,
+  CAST(total - before_ AS BIGINT) AS n_in,
+  CAST(CASE WHEN stage = 6 THEN 0 ELSE cnt END AS BIGINT) AS n_killed,
+  CAST(total - before_ - CASE WHEN stage = 6 THEN 0 ELSE cnt END AS BIGINT)
+    AS n_out
+FROM cum ORDER BY stage
+"""
+
+# Zipf slope per source (operators/textstats.py:zipf_slope)
+
+ORACLES["zipf_slope"] = f"""WITH {_DOC_TOKS},
+exploded AS (SELECT source AS grp, unnest(tokens) AS term FROM toks),
+counts AS (SELECT grp, term, COUNT(*) AS freq FROM exploded GROUP BY 1, 2),
+ranked AS (
+  SELECT grp, freq,
+    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY freq DESC, term) AS rank
+  FROM counts
+)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+         AS slope
+FROM ranked WHERE rank <= 100
+GROUP BY grp ORDER BY grp
+"""
+
+# SemDeDup: cluster-then-cosine semantic dedup
+# (operators/similarity.py:semdedup) — same seed-centroid + rounded-cosine
+# assignment replay as ivf_ann_topk; the EXISTS is the keep-lowest-id rule.
+
+ORACLES["semdedup"] = """
+WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM vecs WHERE vec_id >= 10 ORDER BY vec_id LIMIT 8)
+),
+asg AS (
+  SELECT vec_id, v, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY round(list_cosine_similarity(v, cv), 6) DESC, cell) AS rn
+  FROM vecs CROSS JOIN cents
+),
+a AS (SELECT vec_id, v, cell FROM asg WHERE rn = 1),
+d AS (
+  SELECT x.cell, x.vec_id,
+    EXISTS (SELECT 1 FROM a y WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+            AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.35) AS dup
+  FROM a x
+)
+SELECT CAST(cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM d GROUP BY cell ORDER BY cell
+"""

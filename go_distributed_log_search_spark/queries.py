@@ -1518,6 +1518,34 @@ def q_cdc_chunks(spark, sf_dir):
     )
 
 
+def q_filter_cascade(spark, sf_dir):
+    """Quality-filter cascade kill-funnel over documents: 5 ordered
+    filters (min_tokens, max_chars, punct_ratio, repetition, stopwords)
+    + the survivor row, each doc charged to the FIRST filter that
+    rejects it — operators/textstats.py:filter_cascade. One corpus scan,
+    one 6-key aggregate; the global window runs over 6 rows (bounded by
+    the filter count, not data)."""
+    return textstats.filter_cascade(_docs(spark, sf_dir))
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit per source: regr_slope(ln freq, ln rank) over the
+    top-100 terms — operators/textstats.py:zipf_slope. Corpus-health
+    screen for templated/synthetic sources (natural text ~ -1)."""
+    return textstats.zipf_slope(_docs(spark, sf_dir), group_col="source")
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-then-cosine semantic dedup, arXiv:2303.09540)
+    over embeddings: assign to 8 seed centroids, prune within-cluster
+    vectors with a lower-id neighbor at cosine >= 0.35 (the synthetic
+    embeddings' near-dup band, same bar as embedding_neardup) —
+    operators/similarity.py:semdedup. Per-cluster (n_vecs, n_removed)."""
+    return similarity.semdedup(
+        _emb(spark, sf_dir), n_cells=8, threshold=0.35
+    )
+
+
 def q_role_alternation(spark, sf_dir):
     """Chat-format integrity report over the transcripts table: one row
     per violation type (missing system turn, same-role run, tool turn
@@ -1612,11 +1640,10 @@ SPARK_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "vocab_oov": q_vocab_oov,
     "trending_terms": q_trending_terms,
-    "datetime_multiformat": q_datetime_multiformat,
-    "parse_casts": q_parse_casts,
-    "ip_normalize": q_ip_normalize,
     # -- block 1b: round-4 additions (must sit inside the 50-row window
-    # so the driver gates them the round they are introduced) ------------
+    # so the driver gates them the round they are introduced; the three
+    # r02-green parsing rows moved to block 3 to make room — carryover-
+    # green, unchanged since r02) ----------------------------------------
     "tfidf_topk": q_tfidf_topk,
     "mix_rebalance": q_mix_rebalance,
     "lm_perplexity": q_lm_perplexity,
@@ -1636,11 +1663,17 @@ SPARK_QUERIES = {
     "dup_cluster_stats": q_dup_cluster_stats,
     "cross_source_leakage": q_cross_source_leakage,
     "cdc_chunks": q_cdc_chunks,
+    "filter_cascade": q_filter_cascade,
+    "zipf_slope": q_zipf_slope,
+    "semdedup": q_semdedup,
     # -- block 2: long-green fillers to round out the 50-row window -----
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
     # -- block 3: remaining green rows (r02/r03 carryover-green when the
     # 50-row window cuts here); md5_60 oracle-parity paths last ---------
+    "datetime_multiformat": q_datetime_multiformat,
+    "parse_casts": q_parse_casts,
+    "ip_normalize": q_ip_normalize,
     "pipeline_agg_terms": q_agg_terms,
     "pipeline_enrich": q_enrich,
     "turn_ordering": q_ordering,

@@ -112,3 +112,73 @@ def test_cdc_chunk_determinism_and_counts(spark):
     assert len(out1) == 3
     assert all(r.n_docs == 3 for r in out1)  # identical docs share all
     assert all(r.n_hits >= r.n_docs for r in out1)
+
+
+def test_filter_cascade_funnel_arithmetic(spark):
+    from go_distributed_log_search_spark.operators import textstats
+
+    rows = [
+        (1, "tiny doc"),                                   # stage 1: < 5 tokens
+        (2, "x " * 1500),                                  # stage 2: > 2000 chars
+        (3, "a!!! b??? c### d$$$ e%%%"),                   # stage 3: punct > 0.3
+        (4, "the the the the the the the the the the"),    # stage 4: rep < 0.3
+        (5, "alpha beta gamma delta epsilon zeta"),        # stage 5: no stopword
+        (6, "the quick brown fox jumps over a lazy dog"),  # pass
+        (7, "it is a truth universally acknowledged today"),  # pass
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.filter_cascade(df).collect()
+    assert [r.stage for r in out] == [1, 2, 3, 4, 5, 6]
+    assert [r.filter_name for r in out] == [
+        "min_tokens", "max_chars", "punct_ratio", "repetition",
+        "stopwords", "pass",
+    ]
+    assert [r.n_killed for r in out] == [1, 1, 1, 1, 1, 0]
+    # exact funnel: each stage's n_out feeds the next stage's n_in
+    assert out[0].n_in == 7
+    for prev, nxt in zip(out, out[1:]):
+        assert prev.n_out == nxt.n_in
+    assert out[-1].n_out == 2
+
+
+def test_filter_cascade_stages_dense_when_nothing_killed(spark):
+    from go_distributed_log_search_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a lazy dog")], ["doc_id", "text"]
+    )
+    out = textstats.filter_cascade(df).collect()
+    assert len(out) == 6  # every stage present even with zero kills
+    assert all(r.n_killed == 0 for r in out)
+    assert out[-1].n_out == 1
+
+
+def test_zipf_slope_perfect_zipf_is_minus_one(spark):
+    from go_distributed_log_search_spark.operators import textstats
+
+    # freq = 12 / rank for ranks 1..4 -> ln f = ln 12 - ln rank, slope -1
+    text = " ".join(["aa"] * 12 + ["bb"] * 6 + ["cc"] * 4 + ["dd"] * 3)
+    df = spark.createDataFrame([(1, "s0", text)], ["doc_id", "source", "text"])
+    out = textstats.zipf_slope(df, group_col="source").collect()
+    assert len(out) == 1
+    assert out[0].n_terms == 4
+    assert abs(out[0].slope - (-1.0)) < 1e-9
+
+
+def test_semdedup_keeps_lowest_id_per_semantic_group(spark):
+    from go_distributed_log_search_spark.operators import similarity
+
+    # 2 seed centroids (lowest ids >= 10): e0-ish and e1-ish directions.
+    # 20/21 duplicate the centroids exactly; 22 is near-orthogonal.
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0]),
+        (20, [1.0, 0.05, 0.0]),   # cluster 0, dup of 10
+        (21, [0.0, 1.0, 0.05]),   # cluster 1, dup of 11
+        (22, [0.6, 0.0, 0.8]),    # cluster 0, cos 0.6 < 0.9 -> kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.cell: r for r in similarity.semdedup(
+        df, n_cells=2, threshold=0.9, seed_min_id=10).collect()}
+    assert out[0].n_vecs == 3 and out[0].n_removed == 1
+    assert out[1].n_vecs == 2 and out[1].n_removed == 1
