@@ -269,3 +269,82 @@ def length_trim(
         )
         .orderBy(source_col)
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_source: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023, arXiv:2302.03169): score every document by how much
+    more likely its hashed-unigram features are under a *target*
+    distribution (docs from ``target_source``) than under the *raw*
+    distribution (everything else):
+
+        w(d) = sum_{t in tokens(d)} ln p_tgt(h(t)) - ln p_raw(h(t))
+
+    with h(t) = md5-prefix(t) mod ``n_buckets`` and add-one smoothing on
+    both histograms. Positive w = "looks like the target domain" — the
+    selection signal DSIR resamples by when curating pre-training data
+    toward a high-quality reference corpus.
+
+    Scale shape: the two feature histograms are ONE partial-agg'd
+    group-by over the exploded tokens onto ``n_buckets`` keys (tiny,
+    uniformly spread by the hash — no skew by construction); the
+    log-ratio table (n_buckets rows) broadcasts back onto the token
+    stream, so the only real shuffle is the per-doc weight aggregate on
+    ``id_col``. No vocabulary collect, no driver state — the hashing
+    trick is exactly what makes DSIR O(1)-memory at 10^12 tokens.
+
+    Output: per-source selection summary (source, n_docs, avg_logratio,
+    n_positive), source asc. The target source itself should float to
+    the top — a built-in sanity check.
+    """
+    from ..functions.tokenize import tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.col(source_col).alias("_src"),
+        F.explode(tokenize(F.col(text_col), "default")).alias("term"),
+    )
+    bucketed = toks.select(
+        "_d",
+        "_src",
+        (
+            F.conv(F.substring(F.md5(F.col("term").cast("binary")), 1, 6), 16, 10)
+            .cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.sum((F.col("_src") == target_source).cast("long")).alias("t_cnt"),
+        F.sum((F.col("_src") != target_source).cast("long")).alias("r_cnt"),
+    )
+    tot = hist.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    log_ratio = hist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("t_cnt") + 1) / (F.col("t_tot") + n_buckets))
+            - F.log((F.col("r_cnt") + 1) / (F.col("r_tot") + n_buckets))
+        ).alias("lr"),
+    )
+    per_doc = (
+        bucketed.join(F.broadcast(log_ratio), "bucket")
+        .groupBy("_d", "_src")
+        .agg(F.sum("lr").alias("w"))
+    )
+    return (
+        per_doc.groupBy(F.col("_src").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("w"), 4).alias("avg_logratio"),
+            F.sum((F.col("w") > 0).cast("long")).alias("n_positive"),
+        )
+        .orderBy("source")
+    )

@@ -186,3 +186,101 @@ def phrase_topk(
         .orderBy(F.col("n_occ").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    n: int = 50,
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with Reciprocal Rank Fusion
+    (Cormack et al. 2009): fuse the BM25 top-``n`` (bm25_topk above) with
+    the cosine top-``n`` for one query embedding, each doc scored
+
+        rrf = sum_lists 1 / (k0 + rank_in_list)
+
+    — the standard RAG hybrid-retrieval recipe (rank-based, so the two
+    incommensurable score scales never mix). The shared id space
+    (doc_id == vec_id) is the "document with an embedding column" shape
+    from the brief.
+
+    Scale shape: both branches end in TakeOrderedAndProject (per-partition
+    top-n heaps, driver merge of n rows) BEFORE any window — ranking
+    windows only ever see n pre-cut rows, never the corpus. The semantic
+    branch is a broadcast of ONE query vector + a pure-Catalyst zip_with/
+    aggregate dot product (stays in codegen; the multi-query BLAS
+    pandas_udf path is operators/similarity.brute_force_topk — this
+    variant exists for the single-query fusion case and exact oracle
+    replay). The fuse join is n-vs-n rows: negligible at any scale.
+    1/(k0+rank) is an exact IEEE division of small ints — bit-identical
+    across engines, so ranks and the fused order replay exactly.
+
+    Output: (doc_id, lex_rank, sem_rank, rrf) — top-``k`` by rrf desc,
+    doc_id asc; ranks are NULL for list-misses.
+    """
+    from pyspark.sql import Window as _W
+
+    lex = bm25_topk(
+        docs, query_terms, id_col=id_col, text_col=text_col, k=n
+    ).select(
+        F.col(id_col),
+        F.row_number()
+        .over(_W.orderBy(F.col("bm25").desc(), F.col(id_col)))
+        .alias("lex_rank"),
+    )
+
+    qvec = emb.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), F.col("_qv"), lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sqnorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sem = (
+        emb.crossJoin(F.broadcast(qvec))
+        .filter(F.col(vec_id_col) != query_vec_id)
+        .select(
+            F.col(vec_id_col).alias(id_col),
+            F.round(
+                dot / (sqnorm(F.col(vec_col).cast("array<double>")) * sqnorm(F.col("_qv"))),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(n)
+    )
+    sem_ranked = sem.select(
+        F.col(id_col),
+        F.row_number()
+        .over(_W.orderBy(F.col("cos").desc(), F.col(id_col)))
+        .alias("sem_rank"),
+    )
+
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        1.0 / (F.lit(k0) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        lex.join(sem_ranked, id_col, "outer")
+        .select(
+            F.col(id_col),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+            F.round(contrib("lex_rank") + contrib("sem_rank"), 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -436,3 +436,91 @@ def zipf_slope(
         )
         .orderBy("grp")
     )
+
+
+def log_templates(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "conv_id",
+    k: int = 20,
+) -> DataFrame:
+    """Drain-lite log-template mining: mask every digit run to ``<num>``,
+    collapse whitespace, and count rows per resulting template — the
+    first stage of every log-analytics clusterer (Drain/Spell) and the
+    template discovery the reference's HDFS fixture bodies invite
+    (/root/reference/tests/hdfs-logs-multitenants-10000.jsonl is itself
+    template-generated text). Unlike full Drain there is no parse tree:
+    the mask IS the template key, so the whole operator is one scan +
+    one partial/final hash aggregate + TakeOrderedAndProject — no
+    shuffle carries raw text twice, and the aggregate key cardinality is
+    the (small) template vocabulary, not the corpus.
+
+    Output: (template, n_rows, n_keys) — top-``k`` by n_rows desc,
+    template asc (deterministic cut).
+    """
+    tmpl = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), r"[0-9]+", "<num>"),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        df.select(tmpl.alias("template"), F.col(key_col))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(key_col).alias("n_keys"),
+        )
+        .orderBy(F.col("n_rows").desc(), "template")
+        .limit(k)
+    )
+
+
+def token_entropy_hist(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    bucket_width: float = 0.5,
+) -> DataFrame:
+    """Unigram token-entropy quality screen: per-doc Shannon entropy
+    H = ln(n) - sum(c*ln(c))/n over term frequencies (nats), bucketed
+    into ``bucket_width``-wide histogram bins per group. Low-entropy
+    docs are repetitive/templated (keyboard-mash, SEO spam, boilerplate)
+    — a standard cheap quality filter next to the ratio features in
+    quality_features(); Gopher/FineWeb-style pipelines threshold on
+    exactly this statistic.
+
+    Shape: explode -> (doc, term) tf aggregate (one shuffle) -> per-doc
+    entropy aggregate (second shuffle, partial-agg'd) -> group histogram
+    (tiny). Docs with zero tokens drop out in both engines (empty
+    explode). The identity H = ln n - (sum c ln c)/n lets both entropy
+    terms come from plain SUMs — no per-row p*ln(p) vector needed.
+
+    Output: (group, bucket, n_docs, avg_entropy) ordered (group, bucket).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_d"),
+        F.col(group_col).alias("grp"),
+        F.explode(tokenize(F.col(text_col), "default")).alias("term"),
+    )
+    tf = toks.groupBy("_d", "grp", "term").agg(F.count(F.lit(1)).alias("c"))
+    doc = tf.groupBy("_d", "grp").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("slc"),
+    )
+    ent = doc.select(
+        "grp",
+        (F.log(F.col("n").cast("double")) - F.col("slc") / F.col("n")).alias("h"),
+    )
+    return (
+        ent.groupBy(
+            "grp", F.floor(F.col("h") / bucket_width).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+        )
+        .orderBy("grp", "bucket")
+    )

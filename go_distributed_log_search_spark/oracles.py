@@ -2070,3 +2070,122 @@ SELECT CAST(cell AS INT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM d GROUP BY cell ORDER BY cell
 """
+
+# Drain-lite log-template mining (operators/textstats.py:log_templates)
+
+ORACLES["template_mining"] = """WITH_PRELUDE,
+t AS (
+  SELECT trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+                             '\\s+', ' ', 'g')) AS template,
+         conv_id
+  FROM transcripts
+)
+SELECT template, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_keys
+FROM t GROUP BY template ORDER BY n_rows DESC, template LIMIT 20
+"""
+
+# Hybrid BM25 + cosine retrieval fused with RRF
+# (operators/search.py:hybrid_rrf) — lexical branch replays the bm25_topk
+# oracle at n=50; semantic branch is round-6 cosine vs query vector 0
+# (same convention as semdedup/knn); 1/(60+rank) is exact IEEE division.
+
+ORACLES["rrf_fusion"] = """
+WITH toks AS (
+  SELECT doc_id AS d,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+doclen AS (SELECT d, COUNT(*) AS dl FROM toks GROUP BY d),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen),
+tf AS (
+  SELECT d, term, COUNT(*) AS tf FROM toks
+  WHERE term IN ('hash', 'filter', 'slow') GROUP BY d, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.d,
+         round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS w
+  FROM tf JOIN dfreq USING (term) JOIN doclen USING (d) CROSS JOIN stats
+),
+lexs AS (
+  SELECT d AS doc_id, round(SUM(w), 4) AS bm25
+  FROM scored GROUP BY d ORDER BY bm25 DESC, doc_id LIMIT 50
+),
+lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+  FROM lexs
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+sems AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos
+  FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+  ORDER BY cos DESC, doc_id LIMIT 50
+),
+sem AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS sem_rank
+  FROM sems
+),
+f AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+         round(COALESCE(1.0 / (60 + lex_rank), 0)
+               + COALESCE(1.0 / (60 + sem_rank), 0), 6) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+# DSIR hashed-unigram importance weights
+# (operators/sampling.py:dsir_weights) — same md5-prefix bucket trick as
+# shard_assign; add-one smoothing on both histograms.
+
+ORACLES["dsir_weights"] = f"""WITH {_DOC_TOKS},
+tok AS (SELECT doc_id AS d, source AS src, unnest(tokens) AS term FROM toks),
+b AS (
+  SELECT d, src,
+         ('0x' || substr(md5(term), 1, 6))::BIGINT % 64 AS bucket
+  FROM tok
+),
+hist AS (
+  SELECT bucket,
+         SUM(CASE WHEN src = 'src0' THEN 1 ELSE 0 END) AS t_cnt,
+         SUM(CASE WHEN src <> 'src0' THEN 1 ELSE 0 END) AS r_cnt
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(t_cnt) AS t_tot, SUM(r_cnt) AS r_tot FROM hist),
+lr AS (
+  SELECT bucket,
+         ln((t_cnt + 1) / CAST(t_tot + 64 AS DOUBLE))
+           - ln((r_cnt + 1) / CAST(r_tot + 64 AS DOUBLE)) AS lr
+  FROM hist CROSS JOIN tot
+),
+perdoc AS (
+  SELECT d, src, SUM(lr) AS w FROM b JOIN lr USING (bucket) GROUP BY d, src
+)
+SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(AVG(w), 4) AS avg_logratio,
+       CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+FROM perdoc GROUP BY src ORDER BY source
+"""
+
+# Unigram token-entropy histogram (operators/textstats.py:
+# token_entropy_hist) — H = ln n - (sum c ln c)/n, 0.5-nat buckets.
+
+ORACLES["entropy_hist"] = f"""WITH {_DOC_TOKS},
+tok AS (SELECT doc_id AS d, source AS grp, unnest(tokens) AS term FROM toks),
+tf AS (SELECT d, grp, term, COUNT(*) AS c FROM tok GROUP BY d, grp, term),
+doc AS (
+  SELECT d, grp, SUM(c) AS n,
+         SUM(c * ln(CAST(c AS DOUBLE))) AS slc
+  FROM tf GROUP BY d, grp
+),
+ent AS (SELECT grp, ln(CAST(n AS DOUBLE)) - slc / n AS h FROM doc)
+SELECT grp, CAST(floor(h / 0.5) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, round(AVG(h), 4) AS avg_entropy
+FROM ent GROUP BY grp, bucket ORDER BY grp, bucket
+"""

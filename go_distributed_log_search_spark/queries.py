@@ -1605,6 +1605,49 @@ def q_quant_ann_topk(spark, sf_dir):
     return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_template_mining(spark, sf_dir):
+    """Drain-lite log-template mining over the transcripts table: digit
+    runs masked to <num>, whitespace collapsed, top-20 templates by turn
+    count — operators/textstats.py:log_templates. One scan + one hash
+    aggregate on the template vocabulary + TakeOrderedAndProject."""
+    return textstats.log_templates(_t(spark, sf_dir), k=20)
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval fused with Reciprocal Rank
+    Fusion: BM25 top-50 for a 3-term query x cosine top-50 for query
+    vector 0, rrf = sum 1/(60+rank), top-10 —
+    operators/search.py:hybrid_rrf. Both branches TakeOrdered-pruned
+    before any ranking window touches them."""
+    return search.hybrid_rrf(
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        ["hash", "filter", "slow"],
+        query_vec_id=0,
+        n=50,
+        k=10,
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-unigram importance weights (arXiv:2302.03169), target
+    domain = source 'src0': per-source (n_docs, avg_logratio, n_positive)
+    — operators/sampling.py:dsir_weights. Histograms are one 64-key
+    partial agg; the log-ratio table broadcasts back; the only real
+    shuffle is the per-doc weight sum."""
+    from .operators import sampling
+
+    return sampling.dsir_weights(_docs(spark, sf_dir), target_source="src0")
+
+
+def q_entropy_hist(spark, sf_dir):
+    """Per-source unigram token-entropy histogram (0.5-nat buckets) —
+    operators/textstats.py:token_entropy_hist. The Gopher/FineWeb-style
+    repetitiveness screen: low-entropy buckets flag templated/spammy
+    sources."""
+    return textstats.token_entropy_hist(_docs(spark, sf_dir))
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -1666,11 +1709,20 @@ SPARK_QUERIES = {
     "filter_cascade": q_filter_cascade,
     "zipf_slope": q_zipf_slope,
     "semdedup": q_semdedup,
-    # -- block 2: long-green fillers to round out the 50-row window -----
+    # -- block 2: round-4 session-2 additions inside the window (the two
+    # long-green fillers pipeline_parse/pipeline_route_counts moved to
+    # block-3 head — r03-green, unchanged) -------------------------------
+    "template_mining": q_template_mining,
+    "rrf_fusion": q_rrf_fusion,
+    # -- block 3: first two rows are round-4 session-2 additions just
+    # past the 50-row window (rotate into the window in round 5, with
+    # the rest of blocks 1/1b graduating to carryover-green); then the
+    # remaining r02/r03 carryover-green rows; md5_60 oracle-parity paths
+    # last ---------------------------------------------------------------
+    "dsir_weights": q_dsir_weights,
+    "entropy_hist": q_entropy_hist,
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
-    # -- block 3: remaining green rows (r02/r03 carryover-green when the
-    # 50-row window cuts here); md5_60 oracle-parity paths last ---------
     "datetime_multiformat": q_datetime_multiformat,
     "parse_casts": q_parse_casts,
     "ip_normalize": q_ip_normalize,

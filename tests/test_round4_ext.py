@@ -1,0 +1,144 @@
+"""Round-4 session-2 extension operators: log-template mining, DSIR
+importance weights, RRF hybrid fusion, token-entropy histogram.
+
+Each test pins the operator's arithmetic on a hand-computable fixture;
+sf0.01 oracle parity is covered by test_entry_oracle.py like every other
+registered query.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_distributed_log_search_spark.operators import sampling, search, textstats
+
+
+# ---------------------------------------------------------------- templates
+
+
+def test_log_templates_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", "read 123 bytes from  shard 7"),
+            ("c2", "read 99999 bytes from shard 0"),
+            ("c1", "totally unique line"),
+        ],
+        ["conv_id", "text"],
+    )
+    out = {r["template"]: r for r in textstats.log_templates(df, k=10).collect()}
+    assert out["read <num> bytes from shard <num>"]["n_rows"] == 2
+    assert out["read <num> bytes from shard <num>"]["n_keys"] == 2
+    assert out["totally unique line"]["n_rows"] == 1
+
+
+def test_log_templates_topk_cut_deterministic(spark):
+    # 3 templates tied at 1 row each, k=2 -> lexicographically smallest two
+    df = spark.createDataFrame(
+        [("c", "bb"), ("c", "aa"), ("c", "cc")], ["conv_id", "text"]
+    )
+    got = [r["template"] for r in textstats.log_templates(df, k=2).collect()]
+    assert got == ["aa", "bb"]
+
+
+# --------------------------------------------------------------------- DSIR
+
+
+def test_dsir_target_source_scores_highest(spark):
+    # target vocab disjoint from raw vocab -> target docs must be the
+    # clear positive class and every raw doc negative
+    rows = [(i, "alpha beta gamma delta", "tgt") for i in range(4)] + [
+        (10 + i, "epsilon zeta eta theta", "bg") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in sampling.dsir_weights(df, "tgt").collect()}
+    assert out["tgt"]["avg_logratio"] > 0 > out["bg"]["avg_logratio"]
+    assert out["tgt"]["n_positive"] == 4
+    assert out["bg"]["n_positive"] == 0
+    assert out["tgt"]["n_docs"] == out["bg"]["n_docs"] == 4
+
+
+def test_dsir_weight_arithmetic_add_one(spark):
+    # single shared token: smoothed ratio must be exactly
+    # ln((t+1)/(t_tot+B)) - ln((r+1)/(r_tot+B)) per occurrence
+    df = spark.createDataFrame(
+        [(1, "tok tok", "tgt"), (2, "tok", "bg")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["source"]: r for r in sampling.dsir_weights(df, "tgt", n_buckets=64).collect()}
+    per_tok = math.log(3 / 66) - math.log(2 / 65)
+    assert out["tgt"]["avg_logratio"] == pytest.approx(round(2 * per_tok, 4), abs=1e-4)
+    assert out["bg"]["avg_logratio"] == pytest.approx(round(per_tok, 4), abs=1e-4)
+
+
+# ---------------------------------------------------------------------- RRF
+
+
+def test_rrf_fusion_arithmetic(spark):
+    # docs 1..3 share the query term with tf 3/2/1 -> lex ranks 1/2/3.
+    # embeddings: id 1 exactly matches the query vector (cos 1), id 2
+    # orthogonal-ish, id 3 opposite -> sem ranks 1/2/3 as well.
+    docs = spark.createDataFrame(
+        [
+            (1, "needle needle needle pad"),
+            (2, "needle needle pad pad"),
+            (3, "needle pad pad pad"),
+        ],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [2.0, 0.0]),
+            (2, [1.0, 1.0]),
+            (3, [-1.0, 0.1]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = search.hybrid_rrf(docs, emb, ["needle"], query_vec_id=0, n=10, k=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["lex_rank"] == 1 and rows[1]["sem_rank"] == 1
+    assert rows[1]["rrf"] == pytest.approx(round(2 / 61, 6), abs=1e-6)
+    assert rows[2]["rrf"] == pytest.approx(round(2 / 62, 6), abs=1e-6)
+    # fused order: doc present at rank 1 in both beats everything
+    ordered = [r["doc_id"] for r in out.collect()]
+    assert ordered[0] == 1
+
+
+def test_rrf_fusion_single_list_miss_is_null_rank(spark):
+    docs = spark.createDataFrame(
+        [(1, "needle"), (2, "haystack only")], ["doc_id", "text"]
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    rows = {r["doc_id"]: r for r in search.hybrid_rrf(
+        docs, emb, ["needle"], query_vec_id=0, n=5, k=5
+    ).collect()}
+    assert rows[1]["sem_rank"] is None and rows[1]["lex_rank"] == 1
+    assert rows[2]["lex_rank"] is None and rows[2]["sem_rank"] == 1
+    assert rows[1]["rrf"] == rows[2]["rrf"] == pytest.approx(round(1 / 61, 6))
+
+
+# ------------------------------------------------------------------ entropy
+
+
+def test_token_entropy_known_values(spark):
+    # "a a a a": H = 0 -> bucket 0; "a b c d": H = ln 4 ~ 1.3863 -> bucket 2
+    df = spark.createDataFrame(
+        [(1, "a a a a", "s"), (2, "a b c d", "s")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["bucket"]: r for r in textstats.token_entropy_hist(df).collect()}
+    assert rows[0]["n_docs"] == 1 and rows[0]["avg_entropy"] == 0.0
+    assert rows[2]["n_docs"] == 1
+    assert rows[2]["avg_entropy"] == pytest.approx(round(math.log(4), 4), abs=1e-4)
+
+
+def test_token_entropy_empty_docs_drop(spark):
+    df = spark.createDataFrame(
+        [(1, "...", "s"), (2, "word", "s")], ["doc_id", "text", "source"]
+    )
+    out = textstats.token_entropy_hist(df).collect()
+    # tokenizer drops the punctuation-only doc entirely
+    assert sum(r["n_docs"] for r in out) == 1
