@@ -66,17 +66,17 @@ def kmeans_assign(
     )
 
 
-def kmeans(
+def kmeans_fit(
     df: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd k-means, deterministic init (K lowest-id vectors). Returns
-    the final assignment's per-cluster audit table:
-    (cluster_id, n_members, avg_dist) with avg_dist = mean L2 distance
-    to the cluster's (post-update) centroid, rounded to 4dp.
+):
+    """Run the Lloyd loop and return the fitted centroid matrix
+    (K x dim numpy float64). Shared by kmeans() (audit table) and
+    cluster_purity() (label agreement) so both report against the SAME
+    deterministic fit.
 
     Per iteration exactly ONE job over the corpus (assignment fused with
     the element-wise sum aggregate); the driver only ever sees K x dim
@@ -119,6 +119,23 @@ def kmeans(
                 vec[r["pos"]] = r["s"]
             new_cent[cid] = vec / n
         cent = new_cent
+    return cent
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means, deterministic init (K lowest-id vectors). Returns
+    the final assignment's per-cluster audit table:
+    (cluster_id, n_members, avg_dist) with avg_dist = mean L2 distance
+    to the cluster's (post-update) centroid, rounded to 4dp.
+    """
+    np = _np()
+    cent = kmeans_fit(df, k, iters, id_col, vec_col)
 
     final = kmeans_assign(df, cent, id_col, vec_col)
     # audit distances against the FINAL centroids via a broadcast udf too
@@ -140,4 +157,56 @@ def kmeans(
             F.count(F.lit(1)).alias("n_members"),
             F.round(F.avg("dist"), 4).alias("avg_dist"),
         )
+    )
+
+
+def cluster_purity(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Cluster-vs-label agreement audit: fit k-means (same deterministic
+    kmeans_fit the kmeans_clusters query uses), assign every vector, and
+    report per cluster the majority ground-truth label and purity =
+    n_majority / n_members — the standard external clustering-quality
+    check before trusting unsupervised clusters for curriculum bucketing
+    or per-cluster sampling quotas.
+
+    Scale shape: ONE assignment scan (broadcast centroids, Arrow-batched
+    argmin) feeding a (cluster, label) aggregate; cluster sizes derive
+    from that same aggregate (sum over labels — no second corpus pass).
+    The majority window runs over |clusters x labels| rows, not data.
+    Ties on majority label break to the LOWEST label in both engines.
+
+    Output: (cluster_id, n_members, majority_label, n_majority, purity)
+    ordered by cluster_id.
+    """
+    from pyspark.sql import Window as _W
+
+    cent = kmeans_fit(df, k, iters, id_col, vec_col)
+    assign = _assign_udf(df.sparkSession, cent)
+    assigned = df.select(
+        F.col(label_col).alias("_lbl"),
+        assign(F.col(vec_col)).alias("cluster_id"),
+    )
+    counts = assigned.groupBy("cluster_id", "_lbl").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = _W.partitionBy("cluster_id").orderBy(F.col("c").desc(), F.col("_lbl"))
+    sized = counts.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_members", F.sum("c").over(_W.partitionBy("cluster_id"))
+    )
+    return (
+        sized.filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("_lbl").alias("majority_label"),
+            F.col("c").cast("long").alias("n_majority"),
+            F.round(F.col("c") / F.col("n_members"), 4).alias("purity"),
+        )
+        .orderBy("cluster_id")
     )

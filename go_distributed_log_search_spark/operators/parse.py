@@ -94,3 +94,51 @@ def parse_turns_grok_udf(df: DataFrame) -> DataFrame:
         ],
         ["level", "error_signature", "tool_call"],
     )
+
+
+def parse_coverage(
+    parsed: DataFrame,
+    fields: tuple = (
+        "level",
+        "error_signature",
+        "tool_call",
+        "bytes",
+        "op",
+        "duration",
+    ),
+) -> DataFrame:
+    """Grok-extraction coverage audit: for every extracted field, how
+    many turns produced a non-null value and what fraction of the corpus
+    that is — the parse-observability counter a production log pipeline
+    alarms on (a pattern whose hit-rate collapses after an upstream
+    format change is the #1 silent-corruption mode; the reference's
+    analog is its corrupt-line quarantine count, jsonl_source.go).
+
+    Shape: ONE scan + ONE global aggregate computing all per-field sums
+    map-side (partial+final around a single 1-row exchange); stack()
+    reshapes the 1-row result into |fields| rows driver-free. Adding a
+    field adds a column to the same pass, never another scan.
+
+    Output: (field, n_present, n_total, pct) ordered by field.
+    """
+    sums = parsed.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum(F.col(f).isNotNull().cast("long")).alias(f"_{f}")
+            for f in fields
+        ],
+    )
+    stack_args = ", ".join(f"'{f}', _{f}" for f in fields)
+    return (
+        sums.selectExpr(
+            "n_total",
+            f"stack({len(fields)}, {stack_args}) AS (field, n_present)",
+        )
+        .select(
+            "field",
+            "n_present",
+            "n_total",
+            F.round(F.col("n_present") / F.col("n_total"), 4).alias("pct"),
+        )
+        .orderBy("field")
+    )

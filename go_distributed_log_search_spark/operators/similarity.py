@@ -569,3 +569,57 @@ def semdedup(
         .applyInPandas(_prune, schema="cell int, n_vecs bigint, n_removed bigint")
         .orderBy("cell")
     )
+
+
+def retrieval_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN quality evaluation: recall@k and (binary-relevance) NDCG@k of
+    the INT8-quantized ranking (quantized_topk) against the exact float
+    cosine ranking (brute_force_topk) as ground truth — the check you run
+    BEFORE trusting a compressed/approximate index at corpus scale, made
+    a first-class distributed operator so the eval itself runs on the
+    cluster, not in a notebook.
+
+        recall@k = |approx top-k  intersect  exact top-k| / k
+        ndcg@k   = sum_{i: approx[i] relevant} 1/log2(i+1)
+                   / sum_{i=1..k} 1/log2(i+1)
+
+    Scale shape: both rankers already end in per-partition top-k with
+    only (query, neighbor, score) rows shuffled; the eval join and the
+    per-query aggregate touch q x k rows — nothing corpus-sized is added
+    on top of the rankers themselves.
+
+    Output: (query_id, recall, ndcg) rounded to 4dp, query_id asc.
+    """
+    import math
+
+    exact = brute_force_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_rel")
+    )
+    approx = quantized_topk(corpus, queries, k, id_col, vec_col)
+    idcg = sum(1.0 / math.log2(i + 1) for i in range(1, k + 1))
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left")
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("_rel"), F.lit(0))) / k, 4).alias(
+                "recall"
+            ),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("_rel") == 1,
+                        1.0 / (F.log2(F.col("rank") + 1)),
+                    ).otherwise(0.0)
+                )
+                / idcg,
+                4,
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )

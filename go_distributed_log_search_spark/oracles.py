@@ -2189,3 +2189,146 @@ SELECT grp, CAST(floor(h / 0.5) AS INT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs, round(AVG(h), 4) AS avg_entropy
 FROM ent GROUP BY grp, bucket ORDER BY grp, bucket
 """
+
+# Cluster-vs-label purity (operators/cluster.py:cluster_purity) — the
+# pts..a3 chain replays the SAME two deterministic Lloyd iterations as
+# the kmeans_clusters oracle above (kept verbatim so the two fits can
+# never diverge silently); the tail joins ground-truth labels back and
+# takes the per-cluster majority.
+
+ORACLES["cluster_purity"] = """
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+init AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, v AS c
+  FROM pts ORDER BY vec_id LIMIT 8
+),
+a1 AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_distance(v, c), cid) AS rk
+  FROM pts CROSS JOIN init
+),
+s1 AS (SELECT vec_id, v, cid FROM a1 WHERE rk = 1),
+c1 AS (
+  SELECT cid, list(av ORDER BY pos) AS c FROM (
+    SELECT cid, pos, avg(val) AS av FROM (
+      SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM s1)
+    GROUP BY cid, pos)
+  GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_distance(v, c), cid) AS rk
+  FROM pts CROSS JOIN c1
+),
+s2 AS (SELECT vec_id, v, cid FROM a2 WHERE rk = 1),
+c2 AS (
+  SELECT cid, list(av ORDER BY pos) AS c FROM (
+    SELECT cid, pos, avg(val) AS av FROM (
+      SELECT cid, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM s2)
+    GROUP BY cid, pos)
+  GROUP BY cid
+),
+a3 AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_distance(v, c), cid) AS rk
+  FROM pts CROSS JOIN c2
+),
+fin AS (SELECT vec_id, cid FROM a3 WHERE rk = 1),
+lab AS (
+  SELECT f.cid, e.label, COUNT(*) AS c
+  FROM fin f JOIN embeddings e USING (vec_id) GROUP BY f.cid, e.label
+),
+mj AS (
+  SELECT cid, label, c,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rk2,
+         SUM(c) OVER (PARTITION BY cid) AS n
+  FROM lab
+)
+SELECT CAST(cid AS INT) AS cluster_id, CAST(n AS BIGINT) AS n_members,
+       CAST(label AS INT) AS majority_label, CAST(c AS BIGINT) AS n_majority,
+       round(c / CAST(n AS DOUBLE), 4) AS purity
+FROM mj WHERE rk2 = 1 ORDER BY cluster_id
+"""
+
+# ANN quality eval (operators/similarity.py:retrieval_eval) — exact
+# branch = knn_bruteforce oracle at queries<5; approx branch = the
+# quant_ann_topk replay; metrics joined on list membership.
+
+ORACLES["retrieval_eval"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cos
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+    FROM s) WHERE rk <= 5
+),
+cm AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+  FROM embeddings
+),
+cq AS (SELECT vec_id, {_QUANTIZE} AS qv FROM cm),
+ap AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT cqq.vec_id AS query_id, cqc.vec_id AS neighbor_id,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY cqq.vec_id
+        ORDER BY CAST(list_inner_product(cqq.qv, cqc.qv) AS BIGINT) DESC,
+                 cqc.vec_id) AS INT) AS rank
+    FROM (SELECT * FROM cq WHERE vec_id < 5) cqq CROSS JOIN cq cqc
+    WHERE cqq.vec_id <> cqc.vec_id)
+  WHERE rank <= 5
+),
+j AS (
+  SELECT ap.query_id, ap.rank,
+         CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM ap LEFT JOIN ex
+    ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+),
+idcg AS (SELECT SUM(1.0 / log2(i + 1)) AS v
+         FROM generate_series(1, 5) AS t(i))
+SELECT query_id, round(SUM(rel) / 5.0, 4) AS recall,
+       round(SUM(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1) ELSE 0 END)
+             / (SELECT v FROM idcg), 4) AS ndcg
+FROM j GROUP BY query_id ORDER BY query_id
+"""
+
+# Grok-extraction coverage audit (operators/parse.py:parse_coverage)
+
+ORACLES["grok_coverage"] = f"""WITH_PRELUDE, {_PARSED},
+t AS (
+  SELECT COUNT(*) AS n_total,
+    SUM(CASE WHEN level IS NOT NULL THEN 1 ELSE 0 END) AS f_level,
+    SUM(CASE WHEN error_signature IS NOT NULL THEN 1 ELSE 0 END) AS f_error_signature,
+    SUM(CASE WHEN tool_call IS NOT NULL THEN 1 ELSE 0 END) AS f_tool_call,
+    SUM(CASE WHEN bytes IS NOT NULL THEN 1 ELSE 0 END) AS f_bytes,
+    SUM(CASE WHEN op IS NOT NULL THEN 1 ELSE 0 END) AS f_op,
+    SUM(CASE WHEN duration IS NOT NULL THEN 1 ELSE 0 END) AS f_duration
+  FROM parsed
+),
+u AS (
+  SELECT 'bytes' AS field, f_bytes AS n_present, n_total FROM t
+  UNION ALL SELECT 'duration', f_duration, n_total FROM t
+  UNION ALL SELECT 'error_signature', f_error_signature, n_total FROM t
+  UNION ALL SELECT 'level', f_level, n_total FROM t
+  UNION ALL SELECT 'op', f_op, n_total FROM t
+  UNION ALL SELECT 'tool_call', f_tool_call, n_total FROM t
+)
+SELECT field, CAST(n_present AS BIGINT) AS n_present,
+       CAST(n_total AS BIGINT) AS n_total,
+       round(n_present / CAST(n_total AS DOUBLE), 4) AS pct
+FROM u ORDER BY field
+"""

@@ -1648,6 +1648,37 @@ def q_entropy_hist(spark, sf_dir):
     return textstats.token_entropy_hist(_docs(spark, sf_dir))
 
 
+def q_cluster_purity(spark, sf_dir):
+    """Cluster-vs-label purity audit: the kmeans_clusters fit (k=8, 2
+    Lloyd iterations, lowest-id init) assigned and scored against the
+    embeddings' ground-truth label column —
+    operators/cluster.py:cluster_purity. Oracle replays the same two
+    iterations as SQL CTEs (shared with the kmeans_clusters oracle) and
+    joins labels back."""
+    from .operators.cluster import cluster_purity
+
+    return cluster_purity(_emb(spark, sf_dir), k=8, iters=2)
+
+
+def q_retrieval_eval(spark, sf_dir):
+    """ANN quality eval as a distributed operator: recall@5 and NDCG@5
+    of the int8-quantized ranking vs the exact float-cosine ranking for
+    queries vec_id < 5 — operators/similarity.py:retrieval_eval. Oracle
+    replays both rankers (the knn_bruteforce and quant_ann_topk oracle
+    fragments) and the metric arithmetic."""
+    emb = _emb(spark, sf_dir)
+    return similarity.retrieval_eval(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_grok_coverage(spark, sf_dir):
+    """Grok-extraction coverage audit over the parsed transcripts: per
+    extracted field (level, error_signature, tool_call, bytes, op,
+    duration) the non-null count and corpus fraction —
+    operators/parse.py:parse_coverage. One scan, one 1-row aggregate,
+    stack() reshape."""
+    return parse.parse_coverage(parse.parse_turns(_t(spark, sf_dir), dynamic=False))
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -1721,6 +1752,9 @@ SPARK_QUERIES = {
     # last ---------------------------------------------------------------
     "dsir_weights": q_dsir_weights,
     "entropy_hist": q_entropy_hist,
+    "cluster_purity": q_cluster_purity,
+    "retrieval_eval": q_retrieval_eval,
+    "grok_coverage": q_grok_coverage,
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
     "datetime_multiformat": q_datetime_multiformat,

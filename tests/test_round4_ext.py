@@ -142,3 +142,107 @@ def test_token_entropy_empty_docs_drop(spark):
     out = textstats.token_entropy_hist(df).collect()
     # tokenizer drops the punctuation-only doc entirely
     assert sum(r["n_docs"] for r in out) == 1
+
+
+# ---------------------------------------------------------- cluster purity
+
+
+def test_cluster_purity_separated_clusters(spark):
+    from go_distributed_log_search_spark.operators.cluster import cluster_purity
+
+    # two tight, far-apart blobs; labels agree with geometry except one
+    # contaminant in cluster 0 -> purity 3/4 there, 1.0 elsewhere
+    rows = [
+        (0, [0.0, 0.0], 7),
+        (1, [0.1, 0.0], 7),
+        (2, [0.0, 0.1], 7),
+        (3, [0.1, 0.1], 9),   # contaminant label
+        (4, [10.0, 10.0], 5),
+        (5, [10.1, 10.0], 5),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["cluster_id"]: r for r in cluster_purity(df, k=2, iters=2).collect()}
+    assert out[0]["n_members"] == 4 and out[0]["majority_label"] == 7
+    assert out[0]["n_majority"] == 3 and out[0]["purity"] == 0.75
+    assert out[1]["n_members"] == 2 and out[1]["purity"] == 1.0
+
+
+def test_cluster_purity_majority_tie_breaks_low_label(spark):
+    from go_distributed_log_search_spark.operators.cluster import cluster_purity
+
+    rows = [(0, [0.0], 3), (1, [0.01], 1), (2, [0.02], 3), (3, [0.03], 1)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = cluster_purity(df, k=1, iters=1).collect()
+    assert len(out) == 1
+    assert out[0]["majority_label"] == 1  # 2-2 tie -> lowest label
+
+
+# ---------------------------------------------------------- retrieval eval
+
+
+def test_retrieval_eval_perfect_when_quantization_preserves_order(spark):
+    from go_distributed_log_search_spark.operators.similarity import retrieval_eval
+
+    # axis-aligned well-separated vectors: int8 quantization preserves
+    # the exact ranking -> recall@k = ndcg@k = 1.0 for every query
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = retrieval_eval(df, df.filter(F.col("vec_id") < 2), k=2).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["recall"] == 1.0 and r["ndcg"] == 1.0
+
+
+def test_retrieval_eval_partial_overlap_arithmetic(spark):
+    import math
+
+    from go_distributed_log_search_spark.operators.similarity import retrieval_eval
+
+    # vec 3 has max-norm component far larger than its signal dims, so
+    # quantization crushes its cosine-relevant coordinates: approx list
+    # diverges from exact and the metrics must drop below 1 for query 0
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.98, 0.199, 0.0]),
+        (2, [0.97, 0.0, 0.241]),
+        (3, [0.96, 0.005, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["query_id"]: r for r in retrieval_eval(
+        df, df.filter(F.col("vec_id") == 0), k=2
+    ).collect()}
+    r = out[0]
+    # both metrics are in [0,1] and consistent: recall counts hits,
+    # ndcg discounts their positions
+    assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["ndcg"] <= 1.0
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert r["ndcg"] <= round((1 / math.log2(2) + 1 / math.log2(3)) / idcg, 4)
+
+
+# ------------------------------------------------------------ grok coverage
+
+
+def test_parse_coverage_counts_nonnull(spark):
+    from go_distributed_log_search_spark.operators.parse import parse_coverage
+
+    df = spark.createDataFrame(
+        [
+            ("INFO", None, "bash", 10, None, 5),
+            (None, "Timeout", None, None, "read", None),
+            ("ERROR", None, None, 3, None, None),
+        ],
+        ["level", "error_signature", "tool_call", "bytes", "op", "duration"],
+    )
+    rows = {r["field"]: r for r in parse_coverage(df).collect()}
+    assert rows["level"]["n_present"] == 2 and rows["level"]["n_total"] == 3
+    assert rows["level"]["pct"] == 0.6667
+    assert rows["error_signature"]["n_present"] == 1
+    assert rows["bytes"]["n_present"] == 2
+    assert sorted(rows) == [
+        "bytes", "duration", "error_signature", "level", "op", "tool_call"
+    ]
