@@ -745,3 +745,61 @@ def cdc_chunk_dedup(
         .orderBy(F.col("n_docs").desc(), F.col("n_hits").desc(), F.col("chunk"))
         .limit(k)
     )
+
+
+def conv_template_dedup(
+    t: DataFrame,
+    k: int = 20,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-TEMPLATE dedup: two conversations are template-dups
+    when their ordered turn texts are identical AFTER masking digit runs
+    (<num>) and collapsing whitespace — the scripted-replay pattern in
+    agent-transcript corpora (same tool loop, different ids/counters/
+    timestamps) that exact conv dedup misses and per-turn near-dup
+    over-matches. The per-conversation fingerprint is md5 of the ordered
+    masked-turn concat, so a single structurally-different turn anywhere
+    breaks the match.
+
+    Scale shape: mask is map-side; ONE shuffle assembles each conv
+    (sort_array over collected (order, text) structs — bounded turn
+    counts; see conv_assembly's chunk-segment note for the Zipf head);
+    the cluster aggregate runs on |convs| fingerprint rows. Only
+    fingerprints shuffle twice, never text.
+
+    Output: clusters with >= 2 conversations — (tfp, n_convs, keep_conv
+    = lexicographic min, the survivor) — top-``k`` by n_convs desc, tfp
+    asc.
+    """
+    masked = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), r"[0-9]+", "<num>"), r"\s+", " "
+        )
+    )
+    conv_fp = (
+        t.select(F.col(conv_col), F.col(order_col).alias("_o"), masked.alias("_mt"))
+        .groupBy(conv_col)
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("_o", "_mt"))),
+                        lambda s: s["_mt"],
+                    ),
+                    "\n",
+                )
+            ).alias("tfp")
+        )
+    )
+    return (
+        conv_fp.groupBy("tfp")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.min(conv_col).alias("keep_conv"),
+        )
+        .filter(F.col("n_convs") >= 2)
+        .orderBy(F.col("n_convs").desc(), "tfp")
+        .limit(k)
+    )

@@ -2332,3 +2332,114 @@ SELECT field, CAST(n_present AS BIGINT) AS n_present,
        round(n_present / CAST(n_total AS DOUBLE), 4) AS pct
 FROM u ORDER BY field
 """
+
+
+# Distributed BPE merge training (operators/bpe.py:bpe_merges) — replay
+# of 2 iterations. Greedy non-overlapping left-to-right merge is replayed
+# with a run-parity closed form: within each maximal run of consecutive
+# pair occurrences, greedy merges the positions at ODD offsets from the
+# run start (runs longer than 1 only arise when lhs == rhs). Pair ties
+# break (count desc, lhs asc, rhs asc) exactly as the Spark side.
+
+
+def _bpe_iter(n: int, prev: str) -> str:
+    """One BPE iteration: pair counts over {prev} -> argmax pair b{n} ->
+    run-parity greedy merge -> merged vocabulary w{n}."""
+    return f"""
+p{n} AS (
+  SELECT a, b, SUM(cnt) AS pc FROM (
+    SELECT cnt, list_extract(s, i) AS a, list_extract(s, i + 1) AS b
+    FROM (SELECT cnt, s, unnest(generate_series(1, len(s) - 1)) AS i
+          FROM {prev} WHERE len(s) >= 2)
+  ) GROUP BY a, b
+),
+b{n} AS (
+  SELECT a, b, pc FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY pc DESC, a, b) AS rk FROM p{n})
+  WHERE rk = 1
+),
+m{n} AS (
+  SELECT w, cnt, s, i,
+    (i < len(s) AND list_extract(s, i) = b{n}.a
+       AND list_extract(s, i + 1) = b{n}.b) AS p
+  FROM (SELECT w, cnt, s, unnest(generate_series(1, len(s))) AS i FROM {prev})
+  CROSS JOIN b{n}
+),
+r{n} AS (
+  SELECT *, i - COALESCE(MAX(CASE WHEN NOT p THEN i END) OVER (
+      PARTITION BY w ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS c
+  FROM m{n}
+),
+g{n} AS (SELECT *, (p AND c % 2 = 1) AS m FROM r{n}),
+e{n} AS (SELECT *, LAG(m) OVER (PARTITION BY w ORDER BY i) AS pm FROM g{n}),
+w{n} AS (
+  SELECT w, cnt,
+    list(CASE WHEN m THEN list_extract(s, i) || list_extract(s, i + 1)
+              ELSE list_extract(s, i) END ORDER BY i) AS s
+  FROM e{n} WHERE NOT COALESCE(pm, FALSE) GROUP BY w, cnt
+)"""
+
+
+ORACLES["bpe_merges"] = f"""WITH {_DOC_TOKS},
+wc AS (SELECT w, COUNT(*) AS cnt
+       FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY w),
+w0 AS (SELECT w, cnt,
+         list_transform(generate_series(1, length(w)),
+                        i -> substr(w, i, 1)) AS s
+       FROM wc),
+{_bpe_iter(1, "w0")},
+{_bpe_iter(2, "w1")}
+SELECT CAST(1 AS INT) AS iter, a AS lhs, b AS rhs, a || b AS merged,
+       CAST(pc AS BIGINT) AS pair_count FROM b1
+UNION ALL
+SELECT CAST(2 AS INT), a, b, a || b, CAST(pc AS BIGINT) FROM b2
+ORDER BY iter
+"""
+
+# Conversation-template dedup (operators/dedup.py:conv_template_dedup)
+
+ORACLES["conv_template_dedup"] = """WITH_PRELUDE,
+mask AS (
+  SELECT conv_id, turn_idx,
+    trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+                        '\\s+', ' ', 'g')) AS mt
+  FROM transcripts
+),
+cfp AS (
+  SELECT conv_id,
+         md5(string_agg(mt, chr(10) ORDER BY turn_idx)) AS tfp
+  FROM mask GROUP BY conv_id
+),
+g AS (
+  SELECT tfp, COUNT(*) AS n_convs, MIN(conv_id) AS keep_conv
+  FROM cfp GROUP BY tfp
+)
+SELECT tfp, CAST(n_convs AS BIGINT) AS n_convs, keep_conv
+FROM g WHERE n_convs >= 2 ORDER BY n_convs DESC, tfp LIMIT 20
+"""
+
+
+# Tokenizer fertility per source (operators/bpe.py:bpe_fertility) —
+# reuses the 2-iteration BPE replay; the final vocabulary w2's symbol
+# counts join back onto per-(source, word) counts.
+
+ORACLES["bpe_fertility"] = f"""WITH {_DOC_TOKS},
+gw AS (
+  SELECT grp, w, COUNT(*) AS cnt
+  FROM (SELECT source AS grp, unnest(tokens) AS w FROM toks)
+  GROUP BY grp, w
+),
+wc AS (SELECT w, SUM(cnt) AS cnt FROM gw GROUP BY w),
+w0 AS (SELECT w, cnt,
+         list_transform(generate_series(1, length(w)),
+                        i -> substr(w, i, 1)) AS s
+       FROM wc),
+{_bpe_iter(1, "w0")},
+{_bpe_iter(2, "w1")},
+lens AS (SELECT w, len(s) AS n_sym FROM w2)
+SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * n_sym) AS BIGINT) AS n_bpe_tokens,
+       round(SUM(cnt * n_sym) / CAST(SUM(cnt) AS DOUBLE), 4) AS fertility
+FROM gw JOIN lens USING (w) GROUP BY grp ORDER BY grp
+"""

@@ -1670,6 +1670,36 @@ def q_retrieval_eval(spark, sf_dir):
     return similarity.retrieval_eval(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (2 iterations) over documents: the
+    tokenizer-training inner loop as DataFrame algebra —
+    operators/bpe.py:bpe_merges. Pair statistics run on the word
+    VOCABULARY (one corpus collapse up front), the argmax pair is a
+    TakeOrdered top-1, the merge is a map-side Catalyst fold. Oracle
+    replays both iterations with a run-parity greedy-merge closed form."""
+    from .operators.bpe import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), iters=2)
+
+
+def q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility per source after 2 learned BPE merges: BPE
+    tokens per word — operators/bpe.py:bpe_fertility. Both the training
+    statistics AND the audit encode run on the word vocabulary; the
+    corpus contributes exactly one (source, word) count aggregate."""
+    from .operators.bpe import bpe_fertility
+
+    return bpe_fertility(_docs(spark, sf_dir), iters=2)
+
+
+def q_conv_template_dedup(spark, sf_dir):
+    """Conversation-template dedup over the transcripts table: digit-
+    masked ordered-turn fingerprints, clusters with >= 2 convs, top-20 —
+    operators/dedup.py:conv_template_dedup. Catches scripted replays
+    (same tool loop, different counters) that exact conv dedup misses."""
+    return dedup.conv_template_dedup(_t(spark, sf_dir), k=20)
+
+
 def q_grok_coverage(spark, sf_dir):
     """Grok-extraction coverage audit over the parsed transcripts: per
     extracted field (level, error_signature, tool_call, bytes, op,
@@ -1755,6 +1785,9 @@ SPARK_QUERIES = {
     "cluster_purity": q_cluster_purity,
     "retrieval_eval": q_retrieval_eval,
     "grok_coverage": q_grok_coverage,
+    "bpe_merges": q_bpe_merges,
+    "bpe_fertility": q_bpe_fertility,
+    "conv_template_dedup": q_conv_template_dedup,
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
     "datetime_multiformat": q_datetime_multiformat,

@@ -246,3 +246,85 @@ def test_parse_coverage_counts_nonnull(spark):
     assert sorted(rows) == [
         "bytes", "duration", "error_signature", "level", "op", "tool_call"
     ]
+
+
+# ------------------------------------------------------------------- BPE
+
+
+def test_bpe_merges_matches_reference_semantics(spark):
+    from go_distributed_log_search_spark.operators.bpe import bpe_merges
+
+    # verified against a classic greedy BPE reference implementation:
+    # pair counts weighted by word frequency, ties (count desc, lhs asc,
+    # rhs asc), greedy non-overlapping left-to-right merge
+    df = spark.createDataFrame(
+        [("aaaa",), ("abab",), ("abab",), ("banana",)], ["text"]
+    )
+    got = [tuple(r) for r in bpe_merges(df, iters=2).collect()]
+    assert got == [(1, "a", "b", "ab", 4), (2, "a", "a", "aa", 3)]
+
+
+def test_bpe_merges_self_pair_then_merged_symbol(spark):
+    from go_distributed_log_search_spark.operators.bpe import bpe_merges
+
+    # iteration 2 must count pairs over MERGED symbols: after (a,a)->aa,
+    # "aaaaa" is [aa, aa, a] so (aa, aa) and (aa, a) exist
+    df = spark.createDataFrame([("aaaaa",), ("aaaaa",), ("aab",)], ["text"])
+    got = [tuple(r) for r in bpe_merges(df, iters=2).collect()]
+    assert got == [(1, "a", "a", "aa", 9), (2, "aa", "a", "aaa", 2)]
+
+
+def test_bpe_apply_greedy_fold(spark):
+    from go_distributed_log_search_spark.operators.bpe import bpe_apply
+
+    df = spark.createDataFrame([(1, "abab aaa")], ["doc_id", "text"])
+    out = bpe_apply(df, [("a", "b"), ("a", "a")]).collect()[0]
+    # abab -> [ab, ab]; aaa -> (a,b): no-op -> (a,a): greedy [aa, a]
+    assert out["bpe_tokens"] == ["ab", "ab", "aa", "a"]
+
+
+# ------------------------------------------------------ conv template dedup
+
+
+def test_conv_template_dedup_masks_counters(spark):
+    from go_distributed_log_search_spark.operators.dedup import conv_template_dedup
+
+    rows = [
+        # c1 and c2: same script, different run ids/counters -> template dup
+        ("c1", 0, "start run 17"), ("c1", 1, "fetch 234 bytes"),
+        ("c2", 0, "start run 99"), ("c2", 1, "fetch 8 bytes"),
+        # c3: structurally different second turn
+        ("c3", 0, "start run 17"), ("c3", 1, "fetch bytes failed"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = conv_template_dedup(df, k=10).collect()
+    assert len(out) == 1
+    assert out[0]["n_convs"] == 2 and out[0]["keep_conv"] == "c1"
+
+
+def test_conv_template_dedup_order_sensitive(spark):
+    from go_distributed_log_search_spark.operators.dedup import conv_template_dedup
+
+    rows = [
+        ("a", 0, "x 1"), ("a", 1, "y 2"),
+        ("b", 0, "y 3"), ("b", 1, "x 4"),  # same turns, swapped order
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    assert conv_template_dedup(df, k=10).count() == 0
+
+
+def test_bpe_fertility_arithmetic(spark):
+    from go_distributed_log_search_spark.operators.bpe import bpe_fertility
+
+    # corpus: "abab" x2 + "cd" -> merges (a,b) then (ab,ab).
+    # final syms: abab -> [abab] (1), cd -> [c, d] (2).
+    # srcA: 2x abab -> 2 words, 2 tokens, fertility 1.0
+    # srcB: 1x cd   -> 1 word,  2 tokens, fertility 2.0
+    df = spark.createDataFrame(
+        [("abab", "srcA"), ("abab", "srcA"), ("cd", "srcB")],
+        ["text", "source"],
+    )
+    rows = {r["grp"]: r for r in bpe_fertility(df, iters=2).collect()}
+    assert rows["srcA"]["n_words"] == 2 and rows["srcA"]["n_bpe_tokens"] == 2
+    assert rows["srcA"]["fertility"] == 1.0
+    assert rows["srcB"]["n_bpe_tokens"] == 2 and rows["srcB"]["fertility"] == 2.0
