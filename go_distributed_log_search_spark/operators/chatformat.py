@@ -305,3 +305,80 @@ def pii_redact_report(turns: DataFrame) -> DataFrame:
         )
         .orderBy("role")
     )
+
+
+def preference_pairs(turns: DataFrame) -> DataFrame:
+    """Preference-pair (chosen/rejected) extraction summary: for every
+    conversation with >= 2 assistant turns, pair the longest assistant
+    turn (chosen) with the shortest (rejected) — the deterministic
+    length-proxy pairing DPO/RLHF bootstraps use when no reward model
+    has scored the corpus yet. Ties break toward the EARLIER turn for
+    chosen and the LATER turn for rejected, so a conversation whose
+    assistant turns all tie still yields a valid (distinct) pair.
+
+    One hash aggregate on conv_id — chosen and rejected are struct
+    min/max over (tokens, -turn_idx), so there is NO window and the
+    single exchange carries two small structs per conversation, never
+    text.
+
+    Output: (conv_id, chosen_turn, rejected_turn, chosen_tokens,
+    rejected_tokens, margin), conv_id asc.
+    """
+    tok = ws_token_count_expr(F.col("text")).cast("long")
+    a = turns.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        F.struct(tok.alias("t"), (-F.col("turn_idx")).alias("nti")).alias("s"),
+    )
+    agg = a.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("s").alias("_c"),  # max tokens, then earliest turn
+        F.min("s").alias("_r"),  # min tokens, then latest turn
+    )
+    return (
+        agg.filter(F.col("_n") >= 2)
+        .select(
+            "conv_id",
+            (-F.col("_c.nti")).cast("int").alias("chosen_turn"),
+            (-F.col("_r.nti")).cast("int").alias("rejected_turn"),
+            F.col("_c.t").alias("chosen_tokens"),
+            F.col("_r.t").alias("rejected_tokens"),
+            (F.col("_c.t") - F.col("_r.t")).alias("margin"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def loss_mask_spans(turns: DataFrame) -> DataFrame:
+    """SFT loss-mask span computation: per conversation, concatenate the
+    turns in turn_idx order joined by single newlines, and emit for each
+    ASSISTANT turn its [start_char, end_char) offsets inside that packed
+    string — exactly the spans a trainer masks loss ON (everything else
+    is context). start = sum of length+1 over all earlier turns.
+
+    One running-sum window over the same (conv_id, turn_idx) ordering as
+    the rest of the chatformat suite — co-partitioned with every other
+    per-conversation operator, no second shuffle, nothing but (conv_id,
+    turn_idx, two ints) in the output.
+
+    Output: (conv_id, turn_idx, start_char, end_char), ordered.
+    """
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    start = F.coalesce(
+        F.sum(F.length("text") + F.lit(1)).over(w), F.lit(0)
+    ).cast("long")
+    return (
+        turns.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            start.alias("start_char"),
+            (start + F.length("text")).cast("long").alias("end_char"),
+        )
+        .filter(F.col("role") == "assistant")
+        .drop("role")
+        .orderBy("conv_id", "turn_idx")
+    )

@@ -348,3 +348,68 @@ def dsir_weights(
         )
         .orderBy("source")
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_phases: int = 4,
+) -> DataFrame:
+    """Curriculum ordering: a deterministic GLOBAL rank of every document
+    by difficulty proxy (whitespace token count asc — short/easy first),
+    ties by md5(id), plus the curriculum phase each document lands in
+    (contiguous rank ranges, later phases may hold one extra doc when
+    ranks don't divide evenly). Every curriculum-training run needs this
+    total order to be stable across reruns and cluster sizes.
+
+    Scale shape — global rank WITHOUT a global window: a row_number
+    partitioned by nothing moves the corpus to one reducer (Spark even
+    warns). Instead the classic two-phase distributed rank:
+    (1) rank within each difficulty value (partition key = n_tokens, a
+        bounded-cardinality key; the window shuffle carries (id, hash),
+        never text),
+    (2) the per-value COUNTS — |distinct difficulties| rows, thousands at
+        most — aggregate once, cumulative-sum driver-free via a window
+        over that tiny frame, and broadcast-join back as each value's
+        rank offset.
+    global_rank = offset + local_rank. The corpus shuffles once, on a
+    key with no single hot reducer.
+
+    Output: (doc_id, n_tokens, global_rank, phase), global_rank asc.
+    """
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws_token_count_expr(F.col(text_col)).cast("int").alias("n_tokens"),
+        _order_hash(id_col).alias("_h"),
+    )
+    local = scored.withColumn(
+        "_lr",
+        F.row_number().over(
+            Window.partitionBy("n_tokens").orderBy("_h", "doc_id")
+        ),
+    )
+    counts = scored.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("_c"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_c").over(
+                Window.orderBy("n_tokens").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("n_tokens", "_off")
+    total = scored.count()
+    ranked = local.join(F.broadcast(offsets), "n_tokens").withColumn(
+        "global_rank", (F.col("_off") + F.col("_lr")).cast("long")
+    )
+    # phase p covers ranks (p*total/n_phases, (p+1)*total/n_phases]
+    phase = F.floor(
+        (F.col("global_rank") - 1) * n_phases / F.greatest(F.lit(total), F.lit(1))
+    ).cast("int")
+    return (
+        ranked.select("doc_id", "n_tokens", "global_rank", phase.alias("phase"))
+        .orderBy("global_rank")
+    )

@@ -2443,3 +2443,83 @@ SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_words,
        round(SUM(cnt * n_sym) / CAST(SUM(cnt) AS DOUBLE), 4) AS fertility
 FROM gw JOIN lens USING (w) GROUP BY grp ORDER BY grp
 """
+
+
+# Agent-tool call audit (operators/agenttools.py:tool_call_audit)
+
+ORACLES["tool_call_audit"] = r"""WITH_PRELUDE,
+m AS (
+  SELECT regexp_extract(text, '<tool:(\w+) arg=([\w-]+)>', 1) AS mtool,
+         regexp_extract(text, '<tool:(\w+) arg=([\w-]+)>', 2) AS marg,
+         tool AS ctool
+  FROM transcripts
+),
+f AS (SELECT * FROM m WHERE mtool <> '')
+SELECT mtool AS tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(COUNT(DISTINCT marg) AS BIGINT) AS n_distinct_args,
+       CAST(SUM(CASE WHEN ctool IS DISTINCT FROM mtool THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_col_mismatch,
+       mtool IN ('bash','browser','calc','python','search') AS in_registry
+FROM f GROUP BY mtool ORDER BY mtool
+"""
+
+# Preference pairs (operators/chatformat.py:preference_pairs)
+
+ORACLES["preference_pairs"] = r"""WITH_PRELUDE,
+a AS (
+  SELECT conv_id, turn_idx, len(regexp_extract_all(text, '\S+')) AS t
+  FROM transcripts WHERE role = 'assistant'
+),
+r AS (
+  SELECT conv_id, turn_idx, t,
+    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY t DESC, turn_idx ASC) AS rc,
+    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY t ASC, turn_idx DESC) AS rr,
+    COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM a
+)
+SELECT c.conv_id, CAST(c.turn_idx AS INT) AS chosen_turn,
+       CAST(j.turn_idx AS INT) AS rejected_turn,
+       CAST(c.t AS BIGINT) AS chosen_tokens,
+       CAST(j.t AS BIGINT) AS rejected_tokens,
+       CAST(c.t - j.t AS BIGINT) AS margin
+FROM (SELECT * FROM r WHERE rc = 1 AND n >= 2) c
+JOIN (SELECT * FROM r WHERE rr = 1) j USING (conv_id)
+ORDER BY conv_id
+"""
+
+# SFT loss-mask spans (operators/chatformat.py:loss_mask_spans)
+
+ORACLES["loss_mask_spans"] = """WITH_PRELUDE,
+s AS (
+  SELECT conv_id, turn_idx, role,
+    COALESCE(SUM(length(text) + 1) OVER (
+        PARTITION BY conv_id ORDER BY turn_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_char,
+    length(text) AS l
+  FROM transcripts
+)
+SELECT conv_id, turn_idx, CAST(start_char AS BIGINT) AS start_char,
+       CAST(start_char + l AS BIGINT) AS end_char
+FROM s WHERE role = 'assistant' ORDER BY conv_id, turn_idx
+"""
+
+# Curriculum ordering (operators/sampling.py:curriculum_order) — the
+# oracle's single ROW_NUMBER over the full order replays the engine's
+# two-phase distributed rank exactly.
+
+ORACLES["curriculum_order"] = r"""WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY n_tokens, h, doc_id) AS global_rank,
+         COUNT(*) OVER () AS total
+  FROM s
+)
+SELECT doc_id, n_tokens, CAST(global_rank AS BIGINT) AS global_rank,
+       CAST(floor((global_rank - 1) * 4 / greatest(total, 1)) AS INT) AS phase
+FROM r ORDER BY global_rank
+"""

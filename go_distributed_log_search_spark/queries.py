@@ -16,6 +16,7 @@ from .operators import (
     dedup,
     parse,
     route,
+    sampling,
     search,
     similarity,
     textstats,
@@ -1700,6 +1701,41 @@ def q_conv_template_dedup(spark, sf_dir):
     return dedup.conv_template_dedup(_t(spark, sf_dir), k=20)
 
 
+def q_tool_call_audit(spark, sf_dir):
+    """Per-tool call audit over inline <tool:NAME arg=...> markers:
+    call counts, distinct args, marker-vs-column drift, registry
+    membership — operators/agenttools.py:tool_call_audit. Map-side
+    regexp parse, broadcast registry dim, one |tools|-cardinality agg."""
+    from .operators.agenttools import tool_call_audit
+
+    return tool_call_audit(_t(spark, sf_dir))
+
+
+def q_preference_pairs(spark, sf_dir):
+    """Preference-pair (chosen/rejected) extraction: longest vs shortest
+    assistant turn per conversation with deterministic tie-breaks —
+    operators/chatformat.py:preference_pairs. One struct-min/max hash
+    aggregate on conv_id, no window, no text on the exchange."""
+    return chatformat.preference_pairs(_t(spark, sf_dir))
+
+
+def q_loss_mask_spans(spark, sf_dir):
+    """SFT loss-mask spans: [start, end) char offsets of every assistant
+    turn inside the newline-joined conversation string —
+    operators/chatformat.py:loss_mask_spans. One running-sum window on
+    the shared (conv_id, turn_idx) ordering."""
+    return chatformat.loss_mask_spans(_t(spark, sf_dir))
+
+
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering of documents: deterministic global rank by
+    token count (easy-first) + phase assignment, computed WITHOUT a
+    global single-reducer window (two-phase distributed rank:
+    per-difficulty row_number + tiny broadcast offset table) —
+    operators/sampling.py:curriculum_order."""
+    return sampling.curriculum_order(_docs(spark, sf_dir))
+
+
 def q_grok_coverage(spark, sf_dir):
     """Grok-extraction coverage audit over the parsed transcripts: per
     extracted field (level, error_signature, tool_call, bytes, op,
@@ -1788,6 +1824,10 @@ SPARK_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_fertility": q_bpe_fertility,
     "conv_template_dedup": q_conv_template_dedup,
+    "tool_call_audit": q_tool_call_audit,
+    "preference_pairs": q_preference_pairs,
+    "loss_mask_spans": q_loss_mask_spans,
+    "curriculum_order": q_curriculum_order,
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
     "datetime_multiformat": q_datetime_multiformat,

@@ -328,3 +328,98 @@ def test_bpe_fertility_arithmetic(spark):
     assert rows["srcA"]["n_words"] == 2 and rows["srcA"]["n_bpe_tokens"] == 2
     assert rows["srcA"]["fertility"] == 1.0
     assert rows["srcB"]["n_bpe_tokens"] == 2 and rows["srcB"]["fertility"] == 2.0
+
+
+# ------------------------------------------------------------ agent tools
+
+
+def test_tool_call_audit_registry_and_drift(spark):
+    from go_distributed_log_search_spark.operators.agenttools import tool_call_audit
+
+    rows = [
+        ("<tool:bash arg=q1> run", "bash"),        # ok
+        ("<tool:bash arg=q2> run", None),          # column missing -> drift
+        ("<tool:frobnicate arg=q1> x", "frobnicate"),  # unregistered tool
+        ("plain text no marker", None),            # ignored
+    ]
+    df = spark.createDataFrame(rows, ["text", "tool"])
+    got = {r["tool"]: r for r in tool_call_audit(df).collect()}
+    assert set(got) == {"bash", "frobnicate"}
+    assert got["bash"]["n_calls"] == 2 and got["bash"]["n_distinct_args"] == 2
+    assert got["bash"]["n_col_mismatch"] == 1 and got["bash"]["in_registry"]
+    assert not got["frobnicate"]["in_registry"]
+
+
+# ------------------------------------------------------- preference pairs
+
+
+def test_preference_pairs_tiebreaks(spark):
+    from go_distributed_log_search_spark.operators.chatformat import preference_pairs
+
+    rows = [
+        # c1: clear longest (turn 3) vs shortest (turn 1)
+        ("c1", 1, "assistant", "a"), ("c1", 3, "assistant", "w x y z"),
+        ("c1", 2, "user", "q"),
+        # c2: all assistant turns tie -> chosen earliest, rejected latest
+        ("c2", 0, "assistant", "a b"), ("c2", 2, "assistant", "c d"),
+        # c3: single assistant turn -> no pair
+        ("c3", 0, "assistant", "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = {r["conv_id"]: r for r in preference_pairs(df).collect()}
+    assert set(got) == {"c1", "c2"}
+    assert (got["c1"]["chosen_turn"], got["c1"]["rejected_turn"]) == (3, 1)
+    assert got["c1"]["margin"] == 3
+    assert (got["c2"]["chosen_turn"], got["c2"]["rejected_turn"]) == (0, 2)
+    assert got["c2"]["margin"] == 0
+
+
+# -------------------------------------------------------- loss mask spans
+
+
+def test_loss_mask_spans_offsets(spark):
+    from go_distributed_log_search_spark.operators.chatformat import loss_mask_spans
+
+    rows = [
+        ("c", 0, "system", "sys"),        # [0, 3)
+        ("c", 1, "assistant", "hello"),   # starts at 4
+        ("c", 2, "user", "hm"),
+        ("c", 3, "assistant", "ok"),      # starts at 4 + 6 + 3 = 13
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    got = loss_mask_spans(df).collect()
+    assert [(r["turn_idx"], r["start_char"], r["end_char"]) for r in got] == [
+        (1, 4, 9), (3, 13, 15)
+    ]
+    # spans index into the packed string exactly
+    packed = "sys\nhello\nhm\nok"
+    assert packed[4:9] == "hello" and packed[13:15] == "ok"
+
+
+# ------------------------------------------------------- curriculum order
+
+
+def test_curriculum_order_rank_and_phase(spark):
+    from go_distributed_log_search_spark.operators.sampling import curriculum_order
+
+    rows = [(i, "tok " * (i % 3 + 1)) for i in range(8)]  # 1-3 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curriculum_order(df, n_phases=4).collect()
+    ranks = [r["global_rank"] for r in out]
+    assert ranks == list(range(1, 9))
+    toks = [r["n_tokens"] for r in out]
+    assert toks == sorted(toks)  # easy-first global order
+    assert [r["phase"] for r in out] == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+def test_curriculum_order_no_global_single_partition_window(spark):
+    from go_distributed_log_search_spark.operators.sampling import curriculum_order
+
+    rows = [(i, "t " * (i % 5 + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plan = curriculum_order(df)._jdf.queryExecution().executedPlan().toString()
+    # every Window node over the CORPUS must be partitioned; the only
+    # unpartitioned window allowed is the tiny per-difficulty offset frame
+    import re
+    wins = re.findall(r"Window \[.*?\]", plan)
+    assert any("n_tokens" in w and "_lr" in w for w in wins)
