@@ -753,6 +753,8 @@ def conv_template_dedup(
     conv_col: str = "conv_id",
     order_col: str = "turn_idx",
     text_col: str = "text",
+    max_turns: int | None = None,
+    head_tokens: int | None = None,
 ) -> DataFrame:
     """Conversation-TEMPLATE dedup: two conversations are template-dups
     when their ordered turn texts are identical AFTER masking digit runs
@@ -763,11 +765,21 @@ def conv_template_dedup(
     masked-turn concat, so a single structurally-different turn anywhere
     breaks the match.
 
-    Scale shape: mask is map-side; ONE shuffle assembles each conv
-    (sort_array over collected (order, text) structs — bounded turn
-    counts; see conv_assembly's chunk-segment note for the Zipf head);
-    the cluster aggregate runs on |convs| fingerprint rows. Only
-    fingerprints shuffle twice, never text.
+    ``max_turns`` / ``head_tokens`` select the OPENING-template variant:
+    fingerprint only the first ``max_turns`` turns and only the first
+    ``head_tokens`` whitespace tokens of each masked turn — scripted
+    replays share their opening structure (same system turn, same first
+    tool loop) even when later free-text content diverges, so the
+    full-text fingerprint never fires on long conversations while the
+    structural prefix does. Defaults (None) keep the strict whole-
+    conversation full-text semantics.
+
+    Scale shape: mask is map-side (the prefix filter prunes at the
+    scan); ONE shuffle assembles each conv (sort_array over collected
+    (order, text) structs — bounded turn counts; see conv_assembly's
+    chunk-segment note for the Zipf head); the cluster aggregate runs on
+    |convs| fingerprint rows. Only fingerprints shuffle twice, never
+    text.
 
     Output: clusters with >= 2 conversations — (tfp, n_convs, keep_conv
     = lexicographic min, the survivor) — top-``k`` by n_convs desc, tfp
@@ -778,6 +790,12 @@ def conv_template_dedup(
             F.regexp_replace(F.col(text_col), r"[0-9]+", "<num>"), r"\s+", " "
         )
     )
+    if head_tokens is not None:
+        masked = F.array_join(
+            F.slice(F.split(masked, " "), 1, head_tokens), " "
+        )
+    if max_turns is not None:
+        t = t.filter(F.col(order_col) < max_turns)
     conv_fp = (
         t.select(F.col(conv_col), F.col(order_col).alias("_o"), masked.alias("_mt"))
         .groupBy(conv_col)

@@ -2402,9 +2402,10 @@ ORDER BY iter
 ORACLES["conv_template_dedup"] = """WITH_PRELUDE,
 mask AS (
   SELECT conv_id, turn_idx,
-    trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
-                        '\\s+', ' ', 'g')) AS mt
-  FROM transcripts
+    array_to_string(list_slice(string_split(
+      trim(regexp_replace(regexp_replace(text, '[0-9]+', '<num>', 'g'),
+                          '\\s+', ' ', 'g')), ' '), 1, 2), ' ') AS mt
+  FROM transcripts WHERE turn_idx < 3
 ),
 cfp AS (
   SELECT conv_id,

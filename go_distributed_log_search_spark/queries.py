@@ -1694,11 +1694,16 @@ def q_bpe_fertility(spark, sf_dir):
 
 
 def q_conv_template_dedup(spark, sf_dir):
-    """Conversation-template dedup over the transcripts table: digit-
-    masked ordered-turn fingerprints, clusters with >= 2 convs, top-20 —
+    """Conversation-template dedup over the transcripts table, OPENING-
+    template variant: digit-masked ordered fingerprints of the first 3
+    turns' first 2 tokens, clusters with >= 2 convs, top-20 —
     operators/dedup.py:conv_template_dedup. Catches scripted replays
-    (same tool loop, different counters) that exact conv dedup misses."""
-    return dedup.conv_template_dedup(_t(spark, sf_dir), k=20)
+    (same opening tool loop, different counters/content) that exact conv
+    dedup misses and that full-text template matching never fires on
+    (long conversations are unique in full)."""
+    return dedup.conv_template_dedup(
+        _t(spark, sf_dir), k=20, max_turns=3, head_tokens=2
+    )
 
 
 def q_tool_call_audit(spark, sf_dir):

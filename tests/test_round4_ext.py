@@ -423,3 +423,25 @@ def test_curriculum_order_no_global_single_partition_window(spark):
     import re
     wins = re.findall(r"Window \[.*?\]", plan)
     assert any("n_tokens" in w and "_lr" in w for w in wins)
+
+
+def test_conv_template_dedup_opening_variant(spark):
+    from go_distributed_log_search_spark.operators.dedup import conv_template_dedup
+
+    rows = [
+        # a and b: same structural opening (first 2 tokens of first 2
+        # turns), divergent tails and later turns -> opening-template dup
+        ("a", 0, "sys boot v1 extra alpha"), ("a", 1, "run job 5 then x"),
+        ("a", 2, "totally unique tail aaa"),
+        ("b", 0, "sys boot v2 extra beta"), ("b", 1, "run job 9 then y"),
+        ("b", 2, "different unique tail bbb"),
+        # c: different opening structure
+        ("c", 0, "boot sys v1"), ("c", 1, "run job 5"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    # full-text semantics: no dup
+    assert conv_template_dedup(df, k=10).count() == 0
+    # opening-template semantics: a and b cluster
+    out = conv_template_dedup(df, k=10, max_turns=2, head_tokens=2).collect()
+    assert len(out) == 1
+    assert out[0]["n_convs"] == 2 and out[0]["keep_conv"] == "a"
