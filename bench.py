@@ -254,6 +254,54 @@ def _spin(n: int) -> int:
     return x
 
 
+_PYFILES_ZIP: str | None = None
+
+
+def _visit_launch(lvl: int, mult: int, runs: int, job: str):
+    """(argv, env) for one scaling-probe visit subprocess.
+
+    Default launcher is ``spark-submit --master local[lvl] --py-files
+    engine.zip bench.py --visit ...`` — the north rule's literal launch
+    mechanism ("runs via spark-submit --py-files on N and 4N executor
+    clusters"), so the official BENCH record is produced by the same
+    deployment path a real cluster would use. The JVM options that _visit
+    sets via env (heap, GC threads, ActiveProcessorCount) must ride the
+    submit command line instead: spark-submit launches the JVM before
+    Python runs. SPARK_GRAFT_SUBMIT=0 (or a missing spark-submit binary)
+    falls back to the plain-python launcher — same session, same plan.
+    """
+    global _PYFILES_ZIP
+    visit_args = ["--visit", str(lvl), str(mult), str(runs), job]
+    script = os.path.abspath(__file__)
+    use_submit = os.environ.get("SPARK_GRAFT_SUBMIT", "1") != "0"
+    if use_submit:
+        try:
+            from go_distributed_log_search_spark import submit as _submit
+
+            if _submit.spark_submit_bin() is None:
+                raise FileNotFoundError
+            if _PYFILES_ZIP is None or not os.path.exists(_PYFILES_ZIP):
+                import tempfile
+
+                _PYFILES_ZIP = _submit.make_pyfiles_zip(
+                    os.path.join(tempfile.gettempdir(), "spark-graft-engine.zip")
+                )
+            mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+            jit = os.environ.get(
+                "SPARK_GRAFT_JIT_OPTS",
+                "-XX:TieredStopAtLevel=1 -XX:+UseParallelGC -Xmn3g "
+                f"-XX:ParallelGCThreads={lvl}",
+            )
+            argv = _submit.submit_argv(
+                script, lvl, _PYFILES_ZIP, visit_args,
+                driver_mem=mem, jit_opts=jit,
+            )
+            return argv, _submit.submit_env(lvl)
+        except (ImportError, FileNotFoundError):
+            pass
+    return [sys.executable, script, *visit_args], None
+
+
 def _scaling_probe(mult: int, levels=(8, 32), rounds: int = 2,
                    job: str = "counts", max_rounds: int | None = None,
                    max_waits: int | None = None) -> dict[int, float]:
@@ -346,9 +394,9 @@ def _scaling_probe(mult: int, levels=(8, 32), rounds: int = 2,
         for lvl in levels:
             # the wider level is cheap per run and noisier — sample it more
             runs = 2 if lvl == min(levels) else 4
+            argv, env = _visit_launch(lvl, mult, runs, job)
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--visit", str(lvl),
-                 str(mult), str(runs), job],
+                argv, env=env,
                 capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             rec = None
@@ -469,6 +517,11 @@ def main() -> None:
             )
             return {
                 "job": "parse_enrich_route_sink_counts",
+                "launcher": (
+                    "spark-submit --py-files"
+                    if _visit_launch(small, 1, 1, "counts")[1] is not None
+                    else "python"
+                ),
                 "n_rows": n_rows,
                 "levels": [small, big],
                 f"t_local{small}": round(best[small], 3),

@@ -25,26 +25,22 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def get_spark(
-    app_name: str = "go-distributed-log-search-spark",
-    cpus: int | None = None,
-    shuffle_partitions: int | None = None,
-    extra_conf: dict[str, str] | None = None,
-) -> SparkSession:
-    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
-    cpus = cpus or DEFAULT_CPUS
-    shuffle_partitions = shuffle_partitions or cpus
-    # 4g heap (not 12g): execution memory lives OFF-heap (below), so the
-    # heap only carries short-lived row/token objects — a small, hot heap
-    # keeps this sandbox's proactive page reclaimer (DAMON: cold pages get
-    # reclaimed and fault back expensively) away from it.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
-    # The sandbox resolver points at a blackhole nameserver; any stray
-    # JVM DNS lookup stalls for its full timeout. Pin everything to
-    # 127.0.0.1 and cache negative lookups forever.
-    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
-    os.environ.setdefault("SPARK_LOCAL_HOSTNAME", "localhost")
-    dns_opts = (
+def driver_java_options(
+    cpus: int, driver_mem: str = "4g", jit_opts: str | None = None
+) -> str:
+    """The full driver-JVM option string for an N-core-node session.
+
+    Exposed as a function (not inlined in :func:`get_spark`) because the
+    ``spark-submit --py-files`` launch path (submit.py) must pass the SAME
+    options as ``--conf spark.driver.extraJavaOptions=...`` on the submit
+    command line: under spark-submit the JVM is launched BEFORE the Python
+    driver runs, so builder-time ``spark.driver.extraJavaOptions`` /
+    ``spark.driver.memory`` are silently ignored — the in-process path and
+    the submit path must agree at the source level or they drift.
+    """
+    return (
+        # The sandbox resolver points at a blackhole nameserver; any stray
+        # JVM DNS lookup stalls for its full timeout.
         "-Dsun.net.inetaddr.ttl=-1 -Dsun.net.inetaddr.negative.ttl=-1 "
         "-Dnetworkaddress.cache.ttl=-1 -Dnetworkaddress.cache.negative.ttl=-1 "
         "-Djava.net.preferIPv4Stack=true "
@@ -68,18 +64,20 @@ def get_spark(
         # threads (measured 70-100 GC-seconds per 15s job, all
         # stop-the-world); 3g eden cuts collections ~10x. Old gen 1g holds
         # only broadcasts + session state.
-        + os.environ.get(
-            "SPARK_GRAFT_JIT_OPTS",
-            "-XX:TieredStopAtLevel=1 -XX:+UseParallelGC -Xmn3g",
+        + (
+            jit_opts
+            if jit_opts is not None
+            else os.environ.get(
+                "SPARK_GRAFT_JIT_OPTS",
+                "-XX:TieredStopAtLevel=1 -XX:+UseParallelGC -Xmn3g",
+            )
         )
         # Fixed, fully pre-touched heap: this sandbox's first-touch page
         # faults are extremely expensive (gVisor-style MM) — with the
         # default growing heap the FIRST pipeline run page-faults its way
         # through heap growth and measured 8+ MINUTES where steady state is
         # 10s. Pre-touching at startup moves that cost to one predictable
-        # sequential pass. 12g (not 48g) keeps the pre-touch and GC scans
-        # proportionate to the sandbox working set; production executors
-        # size their own heaps.
+        # sequential pass.
         + f" -Xms{driver_mem} -XX:+AlwaysPreTouch"
         # Faithful N-core-node emulation for the scaling probe: local[8] on
         # a 32-core host still gets ~23 ParallelGC threads, 32-wide JIT /
@@ -90,6 +88,28 @@ def get_spark(
         # other way — threads still migrate freely).
         + f" -XX:ActiveProcessorCount={cpus}"
     )
+
+
+def get_spark(
+    app_name: str = "go-distributed-log-search-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults."""
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    # 4g heap (not 12g): execution memory lives OFF-heap (below), so the
+    # heap only carries short-lived row/token objects — a small, hot heap
+    # keeps this sandbox's proactive page reclaimer (DAMON: cold pages get
+    # reclaimed and fault back expensively) away from it.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+    # The sandbox resolver points at a blackhole nameserver; any stray
+    # JVM DNS lookup stalls for its full timeout. Pin everything to
+    # 127.0.0.1 and cache negative lookups forever.
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    os.environ.setdefault("SPARK_LOCAL_HOSTNAME", "localhost")
+    dns_opts = driver_java_options(cpus, driver_mem)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -190,9 +190,16 @@ def transcripts_df(spark: SparkSession, sf_dir: str, materialize: bool = True) -
     import os
 
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    cache_root = os.environ.get(
-        "SPARK_GRAFT_CACHE", os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache")
-    )
+    default_root = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache")
+    if not os.path.isdir(os.path.dirname(default_root)):
+        # zipimport (spark-submit --py-files engine.zip): __file__ points
+        # inside the zip, which Hadoop's local FS rejects as a parent dir.
+        # Fall back to a host-local scratch root — same role as an
+        # executor's local working dir on a real cluster.
+        import tempfile
+
+        default_root = os.path.join(tempfile.gettempdir(), "spark-graft-cache")
+    cache_root = os.environ.get("SPARK_GRAFT_CACHE", default_root)
     path = os.path.join(cache_root, f"transcripts_{sf_name}.parquet")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
