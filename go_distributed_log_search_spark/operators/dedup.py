@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize
@@ -820,4 +820,147 @@ def conv_template_dedup(
         .filter(F.col("n_convs") >= 2)
         .orderBy(F.col("n_convs").desc(), "tfp")
         .limit(k)
+    )
+
+
+def crossdoc_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document exact-substring duplication audit: what fraction of
+    each subcorpus' tokens sits inside a token n-gram that also occurs in
+    ANOTHER document. The distributed restatement of suffix-array exact
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): a length->=n exact substring shared by two
+    docs is exactly a chain of shared n-gram shingles, so duplicated-span
+    token coverage is recovered by merging overlapping duplicated shingles
+    (gaps-and-islands) per document.
+
+    Plan shape for 100 TB: positional shingles are md5 hex (never text) at
+    the scan; the >=2-distinct-docs filter is one hash aggregate keyed on
+    the shingle hash; surviving positions rejoin on the hash; the interval
+    merge is two same-window passes inside ONE doc_id exchange whose input
+    is only the DUPLICATED positions (dup rate x corpus, not corpus).
+    Corpus totals are a separate scan-bound aggregate; a production run
+    would persist the tokenized frame to share the two scans.
+
+    Output, one row per group (asc): (group, n_docs, n_dup_docs, n_tokens,
+    dup_tokens, dup_frac) with dup_frac = dup_tokens / n_tokens to 4dp.
+    """
+    docs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("grp"),
+        tokenize(F.col(text_col), "default").alias("toks"),
+    ).withColumn("n_tok", F.size("toks"))
+
+    totals = docs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+
+    # positional shingles over the MATERIALIZED toks column (an inline
+    # tokenize here would re-evaluate per lambda element on the
+    # interpreted HOF path — the cooccurrence lesson, BASELINE.md r4)
+    tc = F.col("toks")
+    sh_arr = F.when(
+        F.col("n_tok") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(tc, i, n)).cast("binary")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(
+        "_id", "grp", F.posexplode(sh_arr).alias("pos0", "sh")
+    ).select("_id", "grp", (F.col("pos0") + 1).alias("pos"), "sh")
+
+    dup_sh = (
+        pos.groupBy("sh")
+        .agg(F.countDistinct("_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("sh")
+    )
+    dup_pos = pos.join(dup_sh, "sh").select("_id", "grp", "pos")
+
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup_pos.withColumn(
+        "ni",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_doc = (
+        marked.groupBy("_id", "grp", "island")
+        .agg((F.max("pos") + n - F.min("pos")).alias("covered"))
+        .groupBy("_id", "grp")
+        .agg(F.sum("covered").alias("dup_tokens"))
+    )
+    dup_g = per_doc.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_dup_docs"),
+        F.sum("dup_tokens").cast("bigint").alias("dup_tokens"),
+    )
+    return (
+        totals.join(dup_g, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            F.coalesce("n_dup_docs", F.lit(0)).cast("bigint").alias("n_dup_docs"),
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Exact-dup cluster collapse keeping the BEST member, not the first.
+
+    Production dedup never keeps min-id: the canonical policy is "highest
+    quality wins" (longest / highest-scoring member), so the kept corpus
+    doesn't systematically prefer whichever copy was crawled first.
+    Representative = max quality, ties broken by min id — expressed as one
+    struct-MIN hash aggregate (min(struct(-quality, id)), valid for any
+    orderable id type), so the cluster collapse costs exactly the
+    exact_dedup aggregate: no window, no second shuffle, and the exchange
+    carries (fp, quality, id) only.
+
+    Output, one row per cluster with >= 2 members (keep_id asc):
+    (keep_id, keep_quality, n_members, n_dropped).
+    """
+    fp = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(quality_col).cast("long").alias("_q"),
+        fingerprint_expr(F.col(text_col)).alias("fp"),
+    )
+    best = F.min(F.struct((-F.col("_q")).alias("_nq"), F.col("_id")))
+    return (
+        fp.groupBy("fp")
+        .agg(
+            best.alias("b"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            F.col("b._id").alias("keep_id"),
+            (-F.col("b._nq")).cast("bigint").alias("keep_quality"),
+            "n_members",
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("keep_id")
     )

@@ -623,3 +623,75 @@ def retrieval_eval(
         )
         .orderBy("query_id")
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding-geometry audit: vector norms, centroid norm,
+    anisotropy, and mean cosine-to-centroid.
+
+    The standard representation-collapse screen before embeddings are
+    trusted for ANN/dedup: an anisotropic label (centroid_norm close to
+    avg_norm, avg_cos_centroid near 1) means its vectors bunch in a narrow
+    cone — cosine thresholds tuned on isotropic data silently break.
+
+    Two scans, both scan-bound: (1) per-(label, dim) mean via posexplode +
+    hash aggregate (exchange carries |labels| x dim partial rows); (2) the
+    centroids re-enter via BROADCAST join (|labels| rows of dim doubles)
+    and per-row norm/dot are JVM-side higher-order functions folded into
+    one label-keyed aggregate. No corpus-sized shuffle anywhere.
+
+    Output (label asc): (label, n_vecs, avg_norm, centroid_norm,
+    anisotropy = centroid_norm / avg_norm, avg_cos_centroid), all 4dp.
+    """
+    vecs = df.select(
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent = (
+        vecs.select("label", F.posexplode("v").alias("dim", "val"))
+        .groupBy("label", "dim")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec"),
+            F.sqrt(F.aggregate(
+                F.collect_list("m"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )).alias("centroid_norm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "cvec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    per_row = vecs.join(F.broadcast(cent), "label").select(
+        "label",
+        "centroid_norm",
+        nrm.alias("nrm"),
+        (dot / (nrm * F.col("centroid_norm"))).alias("cos_c"),
+    )
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.first("centroid_norm"), 4).alias("centroid_norm"),
+            F.round(F.first("centroid_norm") / F.avg("nrm"), 4).alias(
+                "anisotropy"
+            ),
+            F.round(F.avg("cos_c"), 4).alias("avg_cos_centroid"),
+        )
+        .orderBy("label")
+    )

@@ -2524,3 +2524,223 @@ SELECT doc_id, n_tokens, CAST(global_rank AS BIGINT) AS global_rank,
        CAST(floor((global_rank - 1) * 4 / greatest(total, 1)) AS INT) AS phase
 FROM r ORDER BY global_rank
 """
+
+# Conversation-prefix reuse (operators/convstruct.py:prefix_sharing)
+
+ORACLES["prefix_sharing"] = """WITH_PRELUDE,
+pre AS (
+  SELECT CAST(turn_idx + 1 AS INT) AS depth,
+         md5(string_agg(md5(text), '|') OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS fp
+  FROM transcripts WHERE turn_idx < 8
+),
+by_fp AS (SELECT depth, fp, COUNT(*) AS n FROM pre GROUP BY depth, fp)
+SELECT depth, CAST(SUM(n) AS BIGINT) AS n_convs,
+       CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+       CAST(MAX(n) AS BIGINT) AS max_share,
+       ROUND(MAX(n) / CAST(SUM(n) AS DOUBLE), 4) AS share_frac
+FROM by_fp GROUP BY depth ORDER BY depth
+"""
+
+# Same-tool loop runs (operators/convstruct.py:tool_loop_detect)
+
+ORACLES["tool_loop_detect"] = """WITH_PRELUDE,
+tt AS (
+  SELECT conv_id, turn_idx, tool FROM transcripts WHERE tool IS NOT NULL
+),
+isl AS (
+  SELECT conv_id, tool,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+       - ROW_NUMBER() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx)
+         AS island
+  FROM tt
+),
+runs AS (
+  SELECT conv_id, tool, island, COUNT(*) AS run_len
+  FROM isl GROUP BY conv_id, tool, island HAVING COUNT(*) >= 3
+)
+SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_loops,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(SUM(run_len) AS BIGINT) AS n_loop_turns
+FROM runs GROUP BY tool ORDER BY tool
+"""
+
+# Cross-doc exact-substring duplication (operators/dedup.py:
+# crossdoc_dup_spans); n = 8 token shingles, islands merged per doc.
+
+ORACLES["crossdoc_spans"] = f"""WITH {_DOC_TOKS},
+docs AS (
+  SELECT doc_id, source, tokens, len(tokens) AS n_tok FROM toks
+),
+pos AS (
+  SELECT doc_id, source, tokens,
+         unnest(range(1, greatest(n_tok - 7, 0) + 1)) AS pos
+  FROM docs
+),
+sh AS (
+  SELECT doc_id, source, pos,
+         md5(array_to_string(tokens[pos:pos+7], ' ')) AS sh
+  FROM pos
+),
+dup AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+dp AS (SELECT s.doc_id, s.source, s.pos FROM sh s JOIN dup USING (sh)),
+isl AS (
+  SELECT doc_id, source, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 7) OVER (
+              PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM dp
+),
+isl2 AS (
+  SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+per_doc AS (
+  SELECT doc_id, source, SUM(covered) AS dup_tokens FROM (
+    SELECT doc_id, source, island, MAX(pos) + 8 - MIN(pos) AS covered
+    FROM isl2 GROUP BY doc_id, source, island
+  ) GROUP BY doc_id, source
+),
+tot AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens FROM docs
+  GROUP BY source
+),
+dg AS (
+  SELECT source, COUNT(*) AS n_dup_docs, SUM(dup_tokens) AS dup_tokens
+  FROM per_doc GROUP BY source
+)
+SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(dg.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(dg.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(COALESCE(dg.dup_tokens, 0) / CAST(t.n_tokens AS DOUBLE), 4)
+         AS dup_frac
+FROM tot t LEFT JOIN dg USING (source)
+ORDER BY t.source
+"""
+
+# Embedding-geometry audit (operators/similarity.py:embedding_dim_stats)
+
+ORACLES["embedding_dim_stats"] = """
+WITH e AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT label, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS val
+  FROM e
+),
+cent AS (SELECT label, dim, AVG(val) AS m FROM dims GROUP BY label, dim),
+centv AS (
+  SELECT label, list(m ORDER BY dim) AS cvec, sqrt(SUM(m * m)) AS cnorm
+  FROM cent GROUP BY label
+),
+rows_ AS (
+  SELECT e.label, cnorm,
+         sqrt(list_inner_product(v, v)) AS nrm,
+         list_inner_product(v, cvec)
+           / (sqrt(list_inner_product(v, v)) * cnorm) AS cos_c
+  FROM e JOIN centv USING (label)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(nrm), 4) AS avg_norm,
+       ROUND(ANY_VALUE(cnorm), 4) AS centroid_norm,
+       ROUND(ANY_VALUE(cnorm) / AVG(nrm), 4) AS anisotropy,
+       ROUND(AVG(cos_c), 4) AS avg_cos_centroid
+FROM rows_ GROUP BY label ORDER BY label
+"""
+
+# Per-op duration SLO board (operators/telemetry.py:slo_stats)
+
+ORACLES["slo_stats"] = f"""WITH_PRELUDE, {_PARSED}
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(quantile_cont(CAST(duration AS DOUBLE), 0.5), 4) AS p50_dur,
+       ROUND(quantile_cont(CAST(duration AS DOUBLE), 0.95), 4) AS p95_dur,
+       ROUND(quantile_cont(CAST(duration AS DOUBLE), 0.99), 4) AS p99_dur,
+       CAST(MAX(duration) AS BIGINT) AS max_dur
+FROM parsed WHERE op IS NOT NULL AND duration IS NOT NULL
+GROUP BY op ORDER BY op
+"""
+
+# Top source IPs by parsed bytes (operators/telemetry.py:top_talkers)
+
+ORACLES["top_talkers"] = """WITH_PRELUDE,
+rows_ AS (
+  SELECT regexp_extract(text, 'src: /([0-9.]+):', 1) AS src_ip,
+         CAST(NULLIF(regexp_extract(text, 'bytes: (\\d+)', 1), '')
+              AS BIGINT) AS bytes
+  FROM transcripts
+)
+SELECT src_ip, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes
+FROM rows_ WHERE src_ip <> ''
+GROUP BY src_ip ORDER BY total_bytes DESC, src_ip LIMIT 10
+"""
+
+# Role-transition latency (operators/telemetry.py:latency_stats)
+
+ORACLES["latency_stats"] = """WITH_PRELUDE,
+lagged AS (
+  SELECT role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS prev_role,
+         GREATEST(epoch(CAST(ts AS TIMESTAMP))
+           - LAG(epoch(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx), 0.0) AS lat_s
+  FROM transcripts
+)
+SELECT prev_role, role, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(lat_s), 4) AS avg_s,
+       ROUND(quantile_cont(lat_s, 0.95), 4) AS p95_s,
+       ROUND(MAX(lat_s), 4) AS max_s
+FROM lagged WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role ORDER BY prev_role, role
+"""
+
+# Error-propagation audit (operators/telemetry.py:error_cascade); k = 3
+
+ORACLES["error_cascade"] = f"""WITH_PRELUDE, {_PARSED},
+errs AS (
+  SELECT conv_id, turn_idx, error_signature FROM parsed
+  WHERE level = 'ERROR'
+),
+flagged AS (
+  SELECT error_signature,
+         CASE WHEN LEAD(turn_idx) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) - turn_idx <= 3
+              THEN 1 ELSE 0 END AS cascades
+  FROM errs
+)
+SELECT error_signature, CAST(COUNT(*) AS BIGINT) AS n_errors,
+       CAST(COALESCE(SUM(cascades), 0) AS BIGINT) AS n_cascades,
+       ROUND(COALESCE(SUM(cascades), 0) / CAST(COUNT(*) AS DOUBLE), 4)
+         AS cascade_rate
+FROM flagged GROUP BY error_signature ORDER BY error_signature
+"""
+
+# Keep-best exact-dup collapse (operators/dedup.py:dedup_keep_best),
+# over transcript turns: turn_key = conv_id#lpad(turn_idx,6), quality =
+# length(text), keep = (quality desc, key asc).
+
+ORACLES["dedup_keep_best"] = f"""WITH_PRELUDE,
+fp AS (
+  SELECT conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 6, '0')
+           AS turn_key,
+         length(text) AS q, {_FP} AS fp
+  FROM transcripts
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY fp ORDER BY q DESC, turn_key) AS rn,
+         COUNT(*) OVER (PARTITION BY fp) AS n_members
+  FROM fp
+)
+SELECT turn_key AS keep_id, CAST(q AS BIGINT) AS keep_quality,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_members - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1 AND n_members >= 2
+ORDER BY keep_id
+"""

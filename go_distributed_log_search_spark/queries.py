@@ -1750,6 +1750,100 @@ def q_grok_coverage(spark, sf_dir):
     return parse.parse_coverage(parse.parse_turns(_t(spark, sf_dir), dynamic=False))
 
 
+def q_prefix_sharing(spark, sf_dir):
+    """Conversation-prefix reuse stats (system-prompt/opening dedup and
+    KV-cache-share audit): per depth 1..8, distinct prefix fingerprints,
+    largest share — operators/convstruct.py:prefix_sharing. Depth cap
+    applied BEFORE the conv window shuffle; aggregate keys carry 32-hex
+    fingerprints, never text."""
+    from .operators import convstruct
+
+    return convstruct.prefix_sharing(_t(spark, sf_dir), max_depth=8)
+
+
+def q_tool_loop_detect(spark, sf_dir):
+    """Same-tool loop detection (agent stuck re-calling one tool):
+    gaps-and-islands runs of >=3 consecutive same-tool turns per
+    conversation — operators/convstruct.py:tool_loop_detect. One explicit
+    conv_id exchange serves both ranking windows."""
+    from .operators import convstruct
+
+    return convstruct.tool_loop_detect(_t(spark, sf_dir), min_run=3)
+
+
+def q_crossdoc_spans(spark, sf_dir):
+    """Cross-document exact-substring duplication audit (suffix-array
+    dedup restated as shared-shingle interval merge): per-source
+    duplicated-token fraction — operators/dedup.py:crossdoc_dup_spans.
+    Shingle hashes only on the wire; island merge shuffles only the
+    duplicated positions."""
+    return dedup.crossdoc_dup_spans(_docs(spark, sf_dir), n=8)
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Embedding-geometry audit per label: avg norm, centroid norm,
+    anisotropy, mean cosine-to-centroid —
+    operators/similarity.py:embedding_dim_stats. Centroids re-enter via
+    broadcast; no corpus-sized shuffle."""
+    return similarity.embedding_dim_stats(_emb(spark, sf_dir))
+
+
+def q_slo_stats(spark, sf_dir):
+    """Per-op duration SLO board (p50/p95/p99) over the parsed INFO-line
+    `duration` field — operators/telemetry.py:slo_stats. Scan + one
+    |ops|-cardinality aggregate; exact percentile at small SF,
+    approx_percentile is the documented 10^12 swap."""
+    from .operators import telemetry
+
+    return telemetry.slo_stats(parse.parse_turns(_t(spark, sf_dir), dynamic=False))
+
+
+def q_top_talkers(spark, sf_dir):
+    """Top-10 source IPs by parsed bytes — operators/telemetry.py:
+    top_talkers. TakeOrderedAndProject after an |ips|-keyed aggregate."""
+    from .operators import telemetry
+
+    return telemetry.top_talkers(_t(spark, sf_dir), k=10)
+
+
+def q_latency_stats(spark, sf_dir):
+    """Per role-transition response latency (avg/p95/max seconds between
+    consecutive turns) — operators/telemetry.py:latency_stats. One conv_id
+    window shuffle, |role-pairs|-keyed aggregate."""
+    from .operators import telemetry
+
+    return telemetry.latency_stats(_t(spark, sf_dir))
+
+
+def q_error_cascade(spark, sf_dir):
+    """Error-propagation audit per signature: errors followed by another
+    error within 3 turns — operators/telemetry.py:error_cascade. Window
+    over ERROR turns only (minority of rows)."""
+    from .operators import telemetry
+
+    return telemetry.error_cascade(
+        parse.parse_turns(_t(spark, sf_dir), dynamic=False), k=3
+    )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Exact-dup collapse over transcript turns keeping the
+    highest-quality member (length desc, turn key asc) —
+    operators/dedup.py:dedup_keep_best. One struct-min hash aggregate; no
+    window, no second shuffle. Turn key = conv_id#lpad(turn_idx) so string
+    order == (conv, idx) order."""
+    turns = _t(spark, sf_dir).select(
+        F.concat_ws(
+            "#", F.col("conv_id"), F.lpad(F.col("turn_idx").cast("string"), 6, "0")
+        ).alias("turn_key"),
+        F.length("text").alias("q"),
+        "text",
+    )
+    return dedup.dedup_keep_best(
+        turns, id_col="turn_key", text_col="text", quality_col="q"
+    )
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -1886,4 +1980,15 @@ SPARK_QUERIES = {
     "moving_avg": q_moving_avg,
     "minhash_lsh_dedup": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    # -- block 4: round-4 session-3 additions (outside this round's
+    # 50-row window by construction; rotate forward in round 5) ---------
+    "prefix_sharing": q_prefix_sharing,
+    "tool_loop_detect": q_tool_loop_detect,
+    "crossdoc_spans": q_crossdoc_spans,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "slo_stats": q_slo_stats,
+    "top_talkers": q_top_talkers,
+    "latency_stats": q_latency_stats,
+    "error_cascade": q_error_cascade,
+    "dedup_keep_best": q_dedup_keep_best,
 }

@@ -43,11 +43,12 @@ pytestmark = pytest.mark.skipif(
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_level(tmp: str, zip_path: str, cpus: int) -> dict:
+def _run_level(tmp: str, zip_path: str, cpus: int, out: str | None = None) -> dict:
     job = os.path.join(tmp, "pipeline_job.py")
     if not os.path.exists(job):
         shutil.copy(os.path.join(REPO, "jobs", "pipeline_job.py"), job)
-    argv = submit_argv(job, cpus, zip_path, ["--sf-dir", SF0001])
+    app_args = ["--sf-dir", SF0001] + (["--out", out] if out else [])
+    argv = submit_argv(job, cpus, zip_path, app_args)
     env = submit_env(cpus)
     # the job must resolve the engine from the zip, not the checkout
     env.pop("PYTHONPATH", None)
@@ -76,7 +77,8 @@ def test_submit_two_levels_match_oracle(tmp_path, duck):
     assert all(n.startswith("go_distributed_log_search_spark/") for n in names)
     assert "go_distributed_log_search_spark/pipeline.py" in names
 
-    rec_n = _run_level(str(tmp_path), zip_path, 2)
+    sink_dir = str(tmp_path / "sinks")
+    rec_n = _run_level(str(tmp_path), zip_path, 2, out=sink_dir)
     rec_4n = _run_level(str(tmp_path), zip_path, 8)
 
     # parallelism-invariance: identical routed-row counts at N and 4N
@@ -95,3 +97,11 @@ def test_submit_two_levels_match_oracle(tmp_path, duck):
         for s in rec_n["sink_counts"]
     }
     assert got == expected
+
+    # fan-out writer: each per-sink parquet table written by the submitted
+    # job holds exactly the counted rows (routed-row count parity on disk)
+    for sink, n_rows in rec_n["sink_counts"].items():
+        (written,) = duck.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{sink_dir}/{sink}/*.parquet')"
+        ).fetchone()
+        assert written == n_rows, f"{sink}: wrote {written}, counted {n_rows}"
