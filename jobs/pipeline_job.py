@@ -73,13 +73,24 @@ def main(argv: list[str] | None = None) -> int:
         # One filtered append per sink over a persisted tagged frame — the
         # writer shape documented in route.routed's docstring (appends need
         # full rows; persist shares the parse across the three passes).
+        # Sinks commit through the Warehouse (Iceberg-style batch
+        # partition + lineage row-count record, sources/catalog.py) — the
+        # submitted job IS the reference's `index` command end to end:
+        # parse -> enrich -> route -> per-sink commit with lineage.
+        from go_distributed_log_search_spark.sources.catalog import Warehouse
+
+        wh = Warehouse(spark, args.out)
         tag_cached = route.with_sink_tags(enriched).persist()
         try:
-            for sink in route.SINKS:
-                (tag_cached.filter(F.array_contains("sinks", sink))
-                 .drop("sinks")
-                 .write.mode("overwrite")
-                 .parquet(os.path.join(args.out, sink)))
+            written = {
+                sink: wh.append_batch(
+                    tag_cached.filter(F.array_contains("sinks", sink)).drop("sinks"),
+                    sink,
+                    batch_id="submit-0",
+                )
+                for sink in route.SINKS
+            }
+            wh.record_lineage_many("submit-0", written)
         finally:
             tag_cached.unpersist()
 

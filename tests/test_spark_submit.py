@@ -98,10 +98,22 @@ def test_submit_two_levels_match_oracle(tmp_path, duck):
     }
     assert got == expected
 
-    # fan-out writer: each per-sink parquet table written by the submitted
-    # job holds exactly the counted rows (routed-row count parity on disk)
+    # fan-out writer: each per-sink table the submitted job committed
+    # through the Warehouse (batch_id partition) holds exactly the counted
+    # rows (routed-row count parity on disk), and the lineage side table
+    # records the same per-sink row counts (north rule: per-partition
+    # lineage + row-count metrics).
     for sink, n_rows in rec_n["sink_counts"].items():
         (written,) = duck.sql(
-            f"SELECT COUNT(*) FROM read_parquet('{sink_dir}/{sink}/*.parquet')"
+            "SELECT COUNT(*) FROM read_parquet("
+            f"'{sink_dir}/{sink}/batch_id=submit-0/*.parquet')"
         ).fetchone()
         assert written == n_rows, f"{sink}: wrote {written}, counted {n_rows}"
+    lineage = {
+        sink: n
+        for sink, n in duck.sql(
+            "SELECT sink, row_count FROM read_parquet("
+            f"'{sink_dir}/lineage/*.parquet')"
+        ).fetchall()
+    }
+    assert lineage == rec_n["sink_counts"]
