@@ -382,3 +382,102 @@ def loss_mask_spans(turns: DataFrame) -> DataFrame:
         .drop("role")
         .orderBy("conv_id", "turn_idx")
     )
+
+
+def contrastive_pairs(
+    turns: DataFrame,
+    n_buckets_hex: int = 2,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Mine (anchor, positive, negative) triples for contrastive
+    retriever training: anchor = a user turn, positive = the assistant
+    turn that immediately answers it, negative = a deterministic
+    assistant turn from a DIFFERENT conversation.
+
+    Negative selection must be (a) deterministic across reruns and
+    cluster sizes and (b) free of corpus-sized shuffles. Scheme: every
+    assistant turn hashes to one of 16^n_buckets_hex buckets
+    (md5(conv#idx) prefix); per bucket the TWO smallest-hash turns from
+    distinct conversations are kept (a 256-row broadcast table), and an
+    anchor takes its own bucket's first representative — or the second
+    when the first shares the anchor's conversation. Per-bucket top-2 is
+    one hash aggregate; the assignment is a broadcast join. No window
+    touches the corpus.
+
+    Output (conv_id asc, anchor_idx asc): (conv_id, anchor_idx,
+    positive_idx, neg_conv_id, neg_idx). Anchors whose bucket offers no
+    other-conversation representative (tiny corpora) are dropped.
+    """
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    nxt_role = F.lead(role_col).over(w)
+    nxt_idx = F.lead(idx_col).over(w)
+    anchors = (
+        turns.select(
+            F.col(conv_col),
+            F.col(idx_col),
+            F.col(role_col),
+            nxt_role.alias("_nr"),
+            nxt_idx.alias("_ni"),
+        )
+        .filter((F.col(role_col) == "user") & (F.col("_nr") == "assistant"))
+        .select(
+            F.col(conv_col),
+            F.col(idx_col).alias("anchor_idx"),
+            F.col("_ni").alias("positive_idx"),
+            F.substring(
+                F.md5(
+                    F.concat_ws("#", F.col(conv_col), F.col(idx_col)).cast("binary")
+                ),
+                1,
+                n_buckets_hex,
+            ).alias("bucket"),
+        )
+    )
+    cand = turns.filter(F.col(role_col) == "assistant").select(
+        F.col(conv_col).alias("neg_conv_id"),
+        F.col(idx_col).alias("neg_idx"),
+        F.md5(
+            F.concat_ws("#", F.col(conv_col), F.col(idx_col)).cast("binary")
+        ).alias("_h"),
+    )
+    # per (bucket, conv): best candidate, then per bucket: two best from
+    # DISTINCT conversations — two bounded aggregates, output = one row
+    # per bucket (<= 16^n_buckets_hex rows), broadcast below.
+    per_conv = (
+        cand.withColumn("bucket", F.substring("_h", 1, n_buckets_hex))
+        .groupBy("bucket", "neg_conv_id")
+        .agg(F.min(F.struct("_h", "neg_idx")).alias("b"))
+    )
+    rep_struct = F.struct(
+        F.col("b._h").alias("_h"),
+        F.col("neg_conv_id").alias("neg_conv_id"),
+        F.col("b.neg_idx").alias("neg_idx"),
+    )
+    rep1 = per_conv.groupBy("bucket").agg(F.min(rep_struct).alias("r1"))
+    # second representative = min over the bucket EXCLUDING rep1's conv —
+    # a second bounded aggregate, never a per-bucket collect (a bucket's
+    # distinct-conv count is corpus-sized at 10^12 turns).
+    rep2 = (
+        per_conv.join(F.broadcast(rep1), "bucket")
+        .filter(F.col("neg_conv_id") != F.col("r1.neg_conv_id"))
+        .groupBy("bucket")
+        .agg(F.min(rep_struct).alias("r2"))
+    )
+    reps = rep1.join(rep2, "bucket", "left")
+    joined = anchors.join(F.broadcast(reps), "bucket", "left")
+    pick = F.when(
+        F.col("r1.neg_conv_id") != F.col(conv_col), F.col("r1")
+    ).otherwise(F.col("r2"))
+    return (
+        joined.select(
+            F.col(conv_col),
+            "anchor_idx",
+            "positive_idx",
+            pick["neg_conv_id"].alias("neg_conv_id"),
+            pick["neg_idx"].alias("neg_idx"),
+        )
+        .filter(F.col("neg_conv_id").isNotNull())
+        .orderBy(conv_col, "anchor_idx")
+    )

@@ -964,3 +964,49 @@ def dedup_keep_best(
         )
         .orderBy("keep_id")
     )
+
+
+def dup_rate_trend(
+    turns: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-rate trend: per ingest day, what fraction of turns are
+    duplicates (by normalized fingerprint) of anything ALREADY SEEN — an
+    earlier day, or an earlier copy the same day. The drift monitor every
+    continuously-ingesting corpus runs: a dup-rate step change usually
+    means an upstream replay or a misbehaving producer, caught before it
+    poisons training mixes. (Within-day-only dup rate was measured
+    trivially zero on this corpus — replays land on later days.)
+
+    A turn is "new" iff it is the first occurrence of its fingerprint
+    corpus-wide, attributed to the fingerprint's first day. Three
+    bounded-payload shuffles — (day, fp) aggregate, fp min-day aggregate,
+    fp equi-join — all carrying 32-hex fingerprints, never text.
+
+    Output (day asc): (day, n_turns, n_new, n_dup_turns, dup_rate) with
+    dup_rate = n_dup_turns / n_turns to 4dp.
+    """
+    by_fp_day = (
+        turns.select(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+            fingerprint_expr(F.col(text_col)).alias("fp"),
+        )
+        .groupBy("day", "fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    first_day = by_fp_day.groupBy("fp").agg(F.min("day").alias("first_day"))
+    joined = by_fp_day.join(first_day, "fp")
+    new_flag = (F.col("day") == F.col("first_day")).cast("long")
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_turns"),
+            F.sum(new_flag).cast("bigint").alias("n_new"),
+            (F.sum("n") - F.sum(new_flag)).cast("bigint").alias("n_dup_turns"),
+            F.round(
+                (F.sum("n") - F.sum(new_flag)) / F.sum("n").cast("double"), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("day")
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize
@@ -131,4 +131,94 @@ def chunk_documents(
         (F.col("chunk_idx") * stride).alias("start_tok"),
         F.size("_chunk").alias("n_toks"),
         F.array_join("_chunk", " ").alias("chunk_text"),
+    )
+
+
+def span_corruption(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    chunk: int = 3,
+    mask_rate: float = 0.15,
+) -> DataFrame:
+    """Deterministic T5-style span-corruption spec: which token spans of
+    each document would be masked, summarized per group.
+
+    Denoising pretraining needs the mask schedule to be reproducible
+    across reruns and cluster sizes (the target sequence is derived from
+    it), so instead of an RNG the mask is a pure hash: tokens are tiled
+    into fixed ``chunk``-token pieces and piece c of doc d is masked iff
+    the first 4 hex chars of md5(d#c), read base-16, fall below
+    65536 * mask_rate. Adjacent masked pieces merge into one span
+    (classic gaps-and-islands), matching how T5 emits one sentinel per
+    contiguous masked run.
+
+    Plan shape: chunk indices explode to (doc, chunk_idx) rows — a
+    bounded ~n_tokens/chunk fan-out computed map-side; the mask predicate
+    is Catalyst (md5 + conv), the span merge is one doc-keyed window over
+    MASKED pieces only (~mask_rate of the fan-out), and the output is two
+    partial+final aggregates. No Python, no RNG state.
+
+    Output (group asc): (group, n_docs, n_tokens, n_masked, n_spans,
+    avg_mask_frac) where avg_mask_frac is the per-doc macro average, 4dp.
+    """
+    threshold = int(65536 * mask_rate)
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("grp"),
+        F.size(tokenize(F.col(text_col), "default")).alias("n_tok"),
+    )
+    chunks = base.select(
+        "_id",
+        "grp",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("n_tok") / chunk).cast("int") - 1)
+        ).alias("c"),
+    ).filter(F.col("n_tok") > 0)
+    masked = chunks.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("_id"), F.col("c")).cast("binary")),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        < threshold
+    )
+    w = Window.partitionBy("_id").orderBy("c")
+    spans = masked.withColumn(
+        "new_span",
+        F.when(
+            F.col("c") - F.lag("c").over(w) == 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "piece_len",
+        F.least(F.lit(chunk), F.col("n_tok") - F.col("c") * chunk),
+    )
+    per_doc = spans.groupBy("_id", "grp", "n_tok").agg(
+        F.sum("piece_len").alias("masked"),
+        F.sum("new_span").alias("spans"),
+    )
+    # docs with zero masked pieces still count toward totals/averages
+    stats = base.filter(F.col("n_tok") > 0).join(
+        per_doc.select("_id", "masked", "spans"), "_id", "left"
+    )
+    return (
+        stats.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.sum("masked"), F.lit(0)).cast("bigint").alias("n_masked"),
+            F.coalesce(F.sum("spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.round(
+                F.avg(F.coalesce(F.col("masked"), F.lit(0)) / F.col("n_tok")), 4
+            ).alias("avg_mask_frac"),
+        )
+        .select(F.col("grp").alias(group_col), "n_docs", "n_tokens",
+                "n_masked", "n_spans", "avg_mask_frac")
+        .orderBy(group_col)
     )

@@ -2744,3 +2744,108 @@ SELECT turn_key AS keep_id, CAST(q AS BIGINT) AS keep_quality,
 FROM ranked WHERE rn = 1 AND n_members >= 2
 ORDER BY keep_id
 """
+
+# Contrastive triple mining (operators/chatformat.py:contrastive_pairs);
+# bucket = first 2 hex of md5(conv#idx), negatives = per-bucket top-2
+# per-conv bests by hash, second used when the first shares the anchor's
+# conversation.
+
+ORACLES["contrastive_pairs"] = """WITH_PRELUDE,
+anch0 AS (
+  SELECT conv_id, turn_idx, role,
+         LEAD(role) OVER w AS nr, LEAD(turn_idx) OVER w AS positive_idx
+  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+anchors AS (
+  SELECT conv_id, turn_idx AS anchor_idx, positive_idx,
+         substr(md5(conv_id || '#' || turn_idx), 1, 2) AS bucket
+  FROM anch0 WHERE role = 'user' AND nr = 'assistant'
+),
+cand AS (
+  SELECT substr(md5(conv_id || '#' || turn_idx), 1, 2) AS bucket,
+         conv_id AS neg_conv_id, turn_idx AS neg_idx,
+         md5(conv_id || '#' || turn_idx) AS h
+  FROM transcripts WHERE role = 'assistant'
+),
+pc AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY bucket, neg_conv_id ORDER BY h, neg_idx) AS rn
+  FROM cand
+),
+bests AS (SELECT bucket, neg_conv_id, neg_idx, h FROM pc WHERE rn = 1),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h) AS rb
+  FROM bests
+),
+r1 AS (SELECT bucket, neg_conv_id AS c1, neg_idx AS i1 FROM ranked WHERE rb = 1),
+r2 AS (SELECT bucket, neg_conv_id AS c2, neg_idx AS i2 FROM ranked WHERE rb = 2),
+picked AS (
+  SELECT a.conv_id, a.anchor_idx, a.positive_idx,
+         CASE WHEN r1.c1 <> a.conv_id THEN r1.c1 ELSE r2.c2 END AS neg_conv_id,
+         CASE WHEN r1.c1 <> a.conv_id THEN r1.i1 ELSE r2.i2 END AS neg_idx
+  FROM anchors a
+  LEFT JOIN r1 USING (bucket) LEFT JOIN r2 USING (bucket)
+)
+SELECT * FROM picked WHERE neg_conv_id IS NOT NULL
+ORDER BY conv_id, anchor_idx
+"""
+
+# Deterministic span-corruption spec (operators/packing.py:
+# span_corruption); chunk = 3 tokens, threshold = int(65536 * 0.15).
+
+ORACLES["span_corruption"] = f"""WITH {_DOC_TOKS},
+base AS (
+  SELECT doc_id, source, len(tokens) AS n_tok FROM toks
+  WHERE len(tokens) > 0
+),
+chunks AS (
+  SELECT doc_id, source, n_tok,
+         unnest(range(0, CAST(ceil(n_tok / 3.0) AS INT))) AS c
+  FROM base
+),
+masked AS (
+  SELECT *, least(3, n_tok - c * 3) AS piece_len FROM chunks
+  WHERE ('0x' || substr(md5(doc_id || '#' || c), 1, 4))::INT < 9830
+),
+spans AS (
+  SELECT *, CASE WHEN c - LAG(c) OVER (
+      PARTITION BY doc_id ORDER BY c) = 1 THEN 0 ELSE 1 END AS new_span
+  FROM masked
+),
+per_doc AS (
+  SELECT doc_id, SUM(piece_len) AS masked, SUM(new_span) AS spans
+  FROM spans GROUP BY doc_id
+),
+stats AS (
+  SELECT b.source, b.n_tok, p.masked, p.spans
+  FROM base b LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(masked), 0) AS BIGINT) AS n_masked,
+       CAST(COALESCE(SUM(spans), 0) AS BIGINT) AS n_spans,
+       ROUND(AVG(COALESCE(masked, 0) / CAST(n_tok AS DOUBLE)), 4)
+         AS avg_mask_frac
+FROM stats GROUP BY source ORDER BY source
+"""
+
+# Per-day duplicate-rate trend (operators/dedup.py:dup_rate_trend):
+# a turn is new iff it is the corpus-wide first occurrence of its
+# fingerprint, attributed to the fingerprint's first day.
+
+ORACLES["dup_rate_trend"] = f"""WITH_PRELUDE,
+by_fp_day AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         {_FP} AS fp, COUNT(*) AS n
+  FROM transcripts GROUP BY day, fp
+),
+first_day AS (SELECT fp, MIN(day) AS fd FROM by_fp_day GROUP BY fp)
+SELECT day, CAST(SUM(n) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(n) - SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_turns,
+       ROUND((SUM(n) - SUM(CASE WHEN day = fd THEN 1 ELSE 0 END))
+             / CAST(SUM(n) AS DOUBLE), 4) AS dup_rate
+FROM by_fp_day JOIN first_day USING (fp)
+GROUP BY day ORDER BY day
+"""

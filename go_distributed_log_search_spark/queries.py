@@ -1844,6 +1844,30 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive (anchor, positive, negative) triple mining: user turn
+    + answering assistant turn + deterministic other-conversation
+    negative via per-bucket top-2 representatives (two bounded
+    aggregates, broadcast assignment — no corpus window) —
+    operators/chatformat.py:contrastive_pairs."""
+    return chatformat.contrastive_pairs(_t(spark, sf_dir))
+
+
+def q_span_corruption(spark, sf_dir):
+    """Deterministic T5-style span-corruption spec per source: hash-tiled
+    3-token pieces masked below a md5 threshold, adjacent pieces merged
+    into spans — operators/packing.py:span_corruption. Map-side
+    predicate, doc-keyed window over masked pieces only."""
+    return packing_ops.span_corruption(_docs(spark, sf_dir))
+
+
+def q_dup_rate_trend(spark, sf_dir):
+    """Per-day exact-duplicate rate trend (ingest drift monitor) —
+    operators/dedup.py:dup_rate_trend. Two partial+final aggregates on
+    (day, fp) then day."""
+    return dedup.dup_rate_trend(_t(spark, sf_dir))
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -1991,4 +2015,7 @@ SPARK_QUERIES = {
     "latency_stats": q_latency_stats,
     "error_cascade": q_error_cascade,
     "dedup_keep_best": q_dedup_keep_best,
+    "contrastive_pairs": q_contrastive_pairs,
+    "span_corruption": q_span_corruption,
+    "dup_rate_trend": q_dup_rate_trend,
 }
