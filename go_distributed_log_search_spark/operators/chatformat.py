@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..functions.tokenize import tokenize
 from .textstats import fingerprint_expr, ws_token_count_expr
 
 
@@ -480,4 +481,96 @@ def contrastive_pairs(
         )
         .filter(F.col("neg_conv_id").isNotNull())
         .orderBy(conv_col, "anchor_idx")
+    )
+
+
+def echo_rate(turns: DataFrame, min_user_tokens: int = 1) -> DataFrame:
+    """Per-conversation prompt-echo report: how much of each user turn's
+    vocabulary the directly-following assistant turn repeats.
+
+    The standard SFT-hygiene screen for assistants that parrot the prompt
+    instead of answering it: for every adjacent (user @ t, assistant @
+    t+1) pair, echo = |distinct_tokens(user) ∩ distinct_tokens(assistant)|
+    / |distinct_tokens(user)| — coverage of the user's tokens in the
+    reply. Output: one row per conversation with the pair count and the
+    mean/max echo, ordered by conv_id.
+
+    Scale shape: a single lead() window over (conv_id, turn_idx) — state
+    bounded by conversation length, not corpus size — feeding a
+    partial+final hash aggregate on conv_id. The shuffle carries token
+    ARRAYS only for turns that start a pair; everything else is pruned by
+    the role predicate before the exchange. No self-join (the naive
+    formulation joins turns to turns on (conv_id, turn_idx+1), which
+    shuffles the corpus twice).
+
+    Reference parity: extension operator (build brief §training-pipeline);
+    the reference's unit is a single log line (main.go:1) with no
+    adjacent-turn semantics.
+    """
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    toks = F.array_distinct(tokenize(F.col("text"), "default"))
+    paired = (
+        turns.select("conv_id", "turn_idx", "role", toks.alias("toks"))
+        .withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_toks", F.lead("toks").over(w))
+        .filter(
+            (F.col("role") == "user")
+            & (F.col("next_role") == "assistant")
+            & (F.size("toks") >= min_user_tokens)
+        )
+    )
+    echo = F.size(F.array_intersect("toks", "next_toks")) / F.size("toks").cast(
+        "double"
+    )
+    return (
+        paired.select("conv_id", echo.alias("echo"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("echo"), 4).alias("avg_echo"),
+            F.round(F.max("echo"), 4).alias("max_echo"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def ctx_overflow(turns: DataFrame, budget: int = 120) -> DataFrame:
+    """Per-conversation context-growth profile: where does the running
+    (oldest-first) whitespace-token total first exceed the context
+    budget?
+
+    Complements context_truncate (which RETURNS the kept newest turns):
+    this is the monitoring view a pipeline dashboards before choosing a
+    budget — per conversation, the total turn/token count, the first
+    overflowing turn_idx (NULL when the whole conversation fits), how
+    many leading turns fit, and that count as a fraction.
+
+    Scale shape: one forward running-sum window over (conv_id, turn_idx)
+    fused with the final per-conv aggregate on the same key — a single
+    exchange, and on a conv_id-bucketed table no exchange at all. Only
+    (conv_id, turn_idx, n_tok) rides the shuffle, never text.
+    """
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tok = turns.select(
+        "conv_id", "turn_idx", ws_token_count_expr(F.col("text")).alias("n_tok")
+    )
+    marked = tok.withColumn("cum", F.sum("n_tok").over(w))
+    n_turns = F.count(F.lit(1))
+    in_budget = F.sum(F.when(F.col("cum") <= budget, 1).otherwise(0))
+    return (
+        marked.groupBy("conv_id")
+        .agg(
+            n_turns.alias("n_turns"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min(F.when(F.col("cum") > budget, F.col("turn_idx"))).alias(
+                "overflow_turn_idx"
+            ),
+            in_budget.alias("turns_in_budget"),
+            F.round(in_budget / n_turns.cast("double"), 4).alias("frac_in_budget"),
+        )
+        .orderBy("conv_id")
     )

@@ -413,3 +413,57 @@ def curriculum_order(
         ranked.select("doc_id", "n_tokens", "global_rank", phase.alias("phase"))
         .orderBy("global_rank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group —
+    Efraimidis–Spirakis A-Res (public algorithm, IPL 2006): each item
+    draws u ∈ (0,1) and is ranked by key = u^(1/w); the top-k keys are a
+    weighted sample without replacement. Weight here = whitespace token
+    count (longer documents proportionally likelier), the usual proxy
+    when sampling a corpus for inspection/eval by token mass.
+
+    Replayability: u is NOT a random number — it derives from md5 of the
+    stringified id ((first 8 hex digits + 0.5) / 2^32), so both engines
+    draw the identical uniform and the sample is stable run-to-run, the
+    property a resumable pipeline needs (re-running the stage must not
+    re-sample).
+
+    Scale shape: one scan computing (group, id, w, key), then a per-group
+    top-k window — Spark plans WindowGroupLimit, pruning to k rows per
+    group BEFORE the exchange, so the shuffle carries ~k rows per group
+    per map partition, never the corpus. Group cardinality bounds the
+    output; no driver-side state.
+    """
+    u = (
+        F.conv(F.substring(_order_hash(id_col), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w_tok = F.greatest(ws_token_count_expr(F.col(text_col)), F.lit(1))
+    scored = df.select(
+        group_col,
+        id_col,
+        w_tok.cast("long").alias("weight"),
+        F.pow(u, F.lit(1.0) / w_tok.cast("double")).alias("_key"),
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("_key").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            "rank",
+            id_col,
+            "weight",
+            F.round("_key", 6).alias("sample_key"),
+        )
+        .orderBy(group_col, "rank")
+    )

@@ -524,3 +524,95 @@ def token_entropy_hist(
         )
         .orderBy("grp", "bucket")
     )
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_tokens: int = 8, max_tokens: int = 1024) -> DataFrame:
+    """Marginal per-rule Gopher-style quality report (Rae et al. 2021,
+    "Scaling Language Models" App. A — public rule set, bounds scaled to
+    the fixture corpus).
+
+    Unlike filter_cascade (which charges a document to the FIRST killing
+    stage so the funnel partitions the corpus), every rule here is
+    evaluated INDEPENDENTLY — the marginal view quality teams use to
+    tune individual thresholds before ordering them into a cascade.
+
+    Rules (each a deterministic Catalyst expression):
+      alpha_words    — < 80% of tokens contain a letter
+      bullet_lines   — > 90% of lines start with a bullet (- or *)
+      ellipsis_lines — > 30% of lines end with "..."
+      mean_word_len  — mean token length outside [2, 12] (token-ful docs)
+      stopword_hits  — fewer than 2 DISTINCT stopwords present
+      symbol_ratio   — (# + ellipsis occurrences) / tokens > 0.1
+      word_count     — token count outside [min_tokens, max_tokens]
+    plus a final `pass_all` row counting documents violating NO rule.
+
+    Output: (rule, n_docs, rate) ordered by rule name; n_docs = violating
+    docs (for pass_all: passing docs), rate = n_docs / corpus size.
+
+    Scale shape: ONE corpus scan collapsing straight into a single
+    partial+final global aggregate (7 boolean sums + count) — the only
+    exchange moves one row per map partition. The per-rule rows are
+    exploded from that single aggregate row driver-free.
+    """
+    text = F.col(text_col)
+    toks = tokenize(text, "default")
+    n_tok = F.size(toks)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    hash_cnt = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    ell_cnt = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    mean_wl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / F.greatest(
+        n_tok, F.lit(1)
+    ).cast("double")
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ) / F.greatest(n_tok, F.lit(1)).cast("double")
+    bullet_frac = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[-*]"))
+    ) / F.greatest(n_lines, F.lit(1)).cast("double")
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("\\.\\.\\.$"))
+    ) / F.greatest(n_lines, F.lit(1)).cast("double")
+    stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    flags = {
+        "alpha_words": (n_tok > 0) & (alpha_frac < 0.8),
+        "bullet_lines": (n_lines > 0) & (bullet_frac > 0.9),
+        "ellipsis_lines": (n_lines > 0) & (ellipsis_frac > 0.3),
+        "mean_word_len": (n_tok > 0) & ((mean_wl < 2) | (mean_wl > 12)),
+        "stopword_hits": stop_distinct < 2,
+        "symbol_ratio": (n_tok > 0)
+        & ((hash_cnt + ell_cnt) / n_tok.cast("double") > 0.1),
+        "word_count": (n_tok < min_tokens) | (n_tok > max_tokens),
+    }
+    flagged = df.select(
+        *[v.cast("int").alias(k) for k, v in flags.items()]
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[F.sum(k).alias(k) for k in flags],
+        F.sum(
+            (sum((F.col(k) for k in flags), F.lit(0)) == 0).cast("int")
+        ).alias("pass_all"),
+    )
+    rows = F.array(
+        *[
+            F.struct(F.lit(k).alias("rule"), F.col(k).cast("long").alias("n_docs"))
+            for k in [*sorted(flags), "pass_all"]
+        ]
+    )
+    return (
+        agg.select(F.col("_total"), F.explode(rows).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_docs").alias("n_docs"),
+            F.round(F.col("r.n_docs") / F.col("_total").cast("double"), 4).alias(
+                "rate"
+            ),
+        )
+        .orderBy("rule")
+    )

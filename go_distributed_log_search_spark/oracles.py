@@ -2849,3 +2849,145 @@ SELECT day, CAST(SUM(n) AS BIGINT) AS n_turns,
 FROM by_fp_day JOIN first_day USING (fp)
 GROUP BY day ORDER BY day
 """
+
+# Per-conversation prompt-echo (operators/chatformat.py:echo_rate):
+# adjacent (user, assistant) pairs, echo = |∩ distinct tokens| / |user
+# distinct tokens|.
+
+ORACLES["echo_rate"] = """WITH_PRELUDE,
+tok AS (
+  SELECT conv_id, turn_idx, role,
+    list_distinct(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+  FROM transcripts
+),
+paired AS (
+  SELECT conv_id, role, toks,
+    LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+    LEAD(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_toks
+  FROM tok
+),
+echoes AS (
+  SELECT conv_id,
+    len(list_intersect(toks, next_toks)) / CAST(len(toks) AS DOUBLE) AS echo
+  FROM paired
+  WHERE role = 'user' AND next_role = 'assistant' AND len(toks) >= 1
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(echo), 4) AS avg_echo, ROUND(MAX(echo), 4) AS max_echo
+FROM echoes GROUP BY conv_id ORDER BY conv_id
+"""
+
+# Per-conversation context-budget growth profile
+# (operators/chatformat.py:ctx_overflow), budget = 120 ws tokens.
+
+ORACLES["ctx_overflow"] = """WITH_PRELUDE,
+tok AS (
+  SELECT conv_id, turn_idx,
+         len(regexp_extract_all(text, '\\S+')) AS n_tok
+  FROM transcripts
+),
+marked AS (
+  SELECT conv_id, turn_idx, n_tok,
+    SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok
+)
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  MIN(CASE WHEN cum > 120 THEN turn_idx END) AS overflow_turn_idx,
+  CAST(SUM(CASE WHEN cum <= 120 THEN 1 ELSE 0 END) AS BIGINT)
+    AS turns_in_budget,
+  ROUND(SUM(CASE WHEN cum <= 120 THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 4) AS frac_in_budget
+FROM marked GROUP BY conv_id ORDER BY conv_id
+"""
+
+# Marginal Gopher-style rule report (operators/textstats.py:gopher_rules)
+# — every rule independent; pass_all = docs violating no rule.
+
+ORACLES["gopher_rules"] = f"""WITH {_DOC_TOKS},
+feat AS (
+  SELECT
+    len(tokens) AS n_tok,
+    len(string_split(text, chr(10))) AS n_lines,
+    length(text) - length(replace(text, '#', '')) AS hash_cnt,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS ell_cnt,
+    COALESCE(list_sum(list_transform(tokens, t -> length(t))), 0)
+      / CAST(greatest(len(tokens), 1) AS DOUBLE) AS mean_wl,
+    len(list_filter(tokens, t -> regexp_matches(t, '[a-z]')))
+      / CAST(greatest(len(tokens), 1) AS DOUBLE) AS alpha_frac,
+    len(list_filter(string_split(text, chr(10)),
+        l -> regexp_matches(trim(l), '^[-*]')))
+      / CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE)
+      AS bullet_frac,
+    len(list_filter(string_split(text, chr(10)),
+        l -> regexp_matches(trim(l), '\\.\\.\\.$')))
+      / CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE)
+      AS ellipsis_frac,
+    len(list_intersect(list_distinct(tokens),
+        ['the','a','an','and','or','of','to','in','is','it'])) AS stop_d
+  FROM toks
+),
+staged AS (
+  SELECT
+    CASE WHEN n_tok > 0 AND alpha_frac < 0.8 THEN 1 ELSE 0 END AS alpha_words,
+    CASE WHEN n_lines > 0 AND bullet_frac > 0.9 THEN 1 ELSE 0 END
+      AS bullet_lines,
+    CASE WHEN n_lines > 0 AND ellipsis_frac > 0.3 THEN 1 ELSE 0 END
+      AS ellipsis_lines,
+    CASE WHEN n_tok > 0 AND (mean_wl < 2 OR mean_wl > 12) THEN 1 ELSE 0 END
+      AS mean_word_len,
+    CASE WHEN stop_d < 2 THEN 1 ELSE 0 END AS stopword_hits,
+    CASE WHEN n_tok > 0 AND (hash_cnt + ell_cnt) / CAST(n_tok AS DOUBLE) > 0.1
+      THEN 1 ELSE 0 END AS symbol_ratio,
+    CASE WHEN n_tok < 8 OR n_tok > 1024 THEN 1 ELSE 0 END AS word_count
+  FROM feat
+),
+agg AS (
+  SELECT COUNT(*) AS total,
+    SUM(alpha_words) AS alpha_words, SUM(bullet_lines) AS bullet_lines,
+    SUM(ellipsis_lines) AS ellipsis_lines, SUM(mean_word_len) AS mean_word_len,
+    SUM(stopword_hits) AS stopword_hits, SUM(symbol_ratio) AS symbol_ratio,
+    SUM(word_count) AS word_count,
+    SUM(CASE WHEN alpha_words + bullet_lines + ellipsis_lines + mean_word_len
+             + stopword_hits + symbol_ratio + word_count = 0
+        THEN 1 ELSE 0 END) AS pass_all
+  FROM staged
+)
+SELECT rule, n_docs, ROUND(n_docs / CAST(total AS DOUBLE), 4) AS rate
+FROM (
+  SELECT 'alpha_words' AS rule, CAST(alpha_words AS BIGINT) AS n_docs, total FROM agg
+  UNION ALL SELECT 'bullet_lines', CAST(bullet_lines AS BIGINT), total FROM agg
+  UNION ALL SELECT 'ellipsis_lines', CAST(ellipsis_lines AS BIGINT), total FROM agg
+  UNION ALL SELECT 'mean_word_len', CAST(mean_word_len AS BIGINT), total FROM agg
+  UNION ALL SELECT 'stopword_hits', CAST(stopword_hits AS BIGINT), total FROM agg
+  UNION ALL SELECT 'symbol_ratio', CAST(symbol_ratio AS BIGINT), total FROM agg
+  UNION ALL SELECT 'word_count', CAST(word_count AS BIGINT), total FROM agg
+  UNION ALL SELECT 'pass_all', CAST(pass_all AS BIGINT), total FROM agg
+) ORDER BY rule
+"""
+
+# Deterministic Efraimidis–Spirakis weighted sample
+# (operators/sampling.py:weighted_sample): u replayed from md5, weight =
+# ws token count, key = u^(1/w), top-5 per source.
+
+ORACLES["weighted_sample"] = """
+WITH scored AS (
+  SELECT source, doc_id,
+    greatest(len(regexp_extract_all(text, '\\S+')), 1) AS weight,
+    pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+          / 4294967296.0,
+        1.0 / greatest(len(regexp_extract_all(text, '\\S+')), 1)) AS key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, weight, key,
+    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT source, CAST(rank AS INT) AS rank, doc_id,
+       CAST(weight AS BIGINT) AS weight, ROUND(key, 6) AS sample_key
+FROM ranked WHERE rank <= 5 ORDER BY source, rank
+"""

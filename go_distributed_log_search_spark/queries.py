@@ -1868,6 +1868,36 @@ def q_dup_rate_trend(spark, sf_dir):
     return dedup.dup_rate_trend(_t(spark, sf_dir))
 
 
+def q_echo_rate(spark, sf_dir):
+    """Per-conversation prompt-echo (assistant parroting the user turn)
+    — operators/chatformat.py:echo_rate. One lead() window + one hash
+    aggregate; no self-join."""
+    return chatformat.echo_rate(_t(spark, sf_dir))
+
+
+def q_ctx_overflow(spark, sf_dir):
+    """Per-conversation context-budget growth profile (first overflow
+    turn, leading turns in budget) — operators/chatformat.py:
+    ctx_overflow. Forward running-sum window fused with the per-conv
+    aggregate on the same key."""
+    return chatformat.ctx_overflow(_t(spark, sf_dir))
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Marginal Gopher-style quality-rule report over documents —
+    operators/textstats.py:gopher_rules. One scan, one global aggregate,
+    rules exploded from a single row."""
+    return textstats.gopher_rules(_docs(spark, sf_dir))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis–Spirakis weighted sample (k per source,
+    weight = ws token count, u replayed from md5) — operators/
+    sampling.py:weighted_sample. WindowGroupLimit prunes to k rows per
+    group below the exchange."""
+    return sampling.weighted_sample(_docs(spark, sf_dir))
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -2018,4 +2048,8 @@ SPARK_QUERIES = {
     "contrastive_pairs": q_contrastive_pairs,
     "span_corruption": q_span_corruption,
     "dup_rate_trend": q_dup_rate_trend,
+    "echo_rate": q_echo_rate,
+    "ctx_overflow": q_ctx_overflow,
+    "gopher_rules": q_gopher_rules,
+    "weighted_sample": q_weighted_sample,
 }

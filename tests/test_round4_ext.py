@@ -445,3 +445,78 @@ def test_conv_template_dedup_opening_variant(spark):
     out = conv_template_dedup(df, k=10, max_turns=2, head_tokens=2).collect()
     assert len(out) == 1
     assert out[0]["n_convs"] == 2 and out[0]["keep_conv"] == "a"
+
+
+def test_echo_rate_semantics(spark):
+    from go_distributed_log_search_spark.operators.chatformat import echo_rate
+
+    rows = [
+        # c1: user "alpha beta gamma" -> assistant repeats 2 of 3 tokens
+        ("c1", 0, "system", "boot"),
+        ("c1", 1, "user", "alpha beta gamma"),
+        ("c1", 2, "assistant", "alpha beta reply"),
+        # c1: second pair, zero overlap
+        ("c1", 3, "user", "delta"),
+        ("c1", 4, "assistant", "epsilon"),
+        # c2: user followed by tool, not assistant -> no pair
+        ("c2", 0, "user", "x y"),
+        ("c2", 1, "tool", "x y"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r["conv_id"]: r for r in echo_rate(df).collect()}
+    assert set(out) == {"c1"}
+    assert out["c1"]["n_pairs"] == 2
+    assert abs(out["c1"]["max_echo"] - 2 / 3) < 1e-3
+    assert abs(out["c1"]["avg_echo"] - (2 / 3) / 2) < 1e-3
+
+
+def test_ctx_overflow_semantics(spark):
+    from go_distributed_log_search_spark.operators.chatformat import ctx_overflow
+
+    rows = [
+        ("c1", 0, "one two three"),      # cum 3
+        ("c1", 1, "four five"),          # cum 5 -> overflows budget 4
+        ("c1", 2, "six"),                # cum 6
+        ("c2", 0, "a b"),                # fits entirely
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = {r["conv_id"]: r for r in ctx_overflow(df, budget=4).collect()}
+    assert out["c1"]["overflow_turn_idx"] == 1
+    assert out["c1"]["turns_in_budget"] == 1
+    assert out["c1"]["total_tokens"] == 6
+    assert out["c2"]["overflow_turn_idx"] is None
+    assert out["c2"]["frac_in_budget"] == 1.0
+
+
+def test_gopher_rules_semantics(spark):
+    from go_distributed_log_search_spark.operators.textstats import gopher_rules
+
+    rows = [
+        (0, "the cat and the dog sat in a big warm house today"),  # passes
+        (1, "### ### ###"),            # word_count+stopword+symbol... no tokens
+        (2, "- one\n- two\n- three"),  # bullet lines (but short -> word_count)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["rule"]: r for r in gopher_rules(df, min_tokens=5).collect()}
+    assert set(out) == {
+        "alpha_words", "bullet_lines", "ellipsis_lines", "mean_word_len",
+        "stopword_hits", "symbol_ratio", "word_count", "pass_all",
+    }
+    assert out["pass_all"]["n_docs"] == 1
+    assert out["bullet_lines"]["n_docs"] == 1
+    assert out["word_count"]["n_docs"] == 2  # docs 1 (0 toks) and 2 (3 toks)
+    assert out["stopword_hits"]["n_docs"] == 2
+
+
+def test_weighted_sample_is_deterministic_and_weighted(spark):
+    from go_distributed_log_search_spark.operators.sampling import weighted_sample
+
+    rows = [("s", i, "w " * (1 if i < 50 else 40)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    a = weighted_sample(df, k=5).collect()
+    b = weighted_sample(df, k=5).collect()
+    assert a == b  # replayable: identical sample across runs
+    assert [r["rank"] for r in a] == [1, 2, 3, 4, 5]
+    # heavy docs (weight 40, ids 50..59) dominate a weighted-by-token draw
+    heavy = sum(1 for r in a if r["doc_id"] >= 50)
+    assert heavy >= 4
