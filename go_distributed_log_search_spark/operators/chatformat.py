@@ -574,3 +574,43 @@ def ctx_overflow(turns: DataFrame, budget: int = 120) -> DataFrame:
         )
         .orderBy("conv_id")
     )
+
+
+def turn_selfrep(turns: DataFrame) -> DataFrame:
+    """Per-conversation assistant self-repetition: token-set Jaccard
+    between each assistant turn and the PREVIOUS assistant turn in the
+    same conversation (interleaved user/tool turns ignored).
+
+    The screen for agents stuck restating themselves across turns —
+    complementary to echo_rate (assistant parroting the USER) and to
+    repetition_stats (token repetition INSIDE one text). Output: one row
+    per conversation with >= 2 assistant turns: pair count, mean/max
+    Jaccard, and the count of high-repetition pairs (> 0.5).
+
+    Scale shape: the role filter prunes to assistant turns BEFORE the
+    single lag() window over (conv_id, turn_idx) — state bounded by
+    conversation length — then one partial+final aggregate on conv_id.
+    """
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    toks = F.array_distinct(tokenize(F.col("text"), "default"))
+    paired = (
+        turns.filter(F.col("role") == "assistant")
+        .select("conv_id", "turn_idx", toks.alias("toks"))
+        .withColumn("prev_toks", F.lag("toks").over(w))
+        .filter(F.col("prev_toks").isNotNull())
+    )
+    union_n = F.size(F.array_union("toks", "prev_toks"))
+    jac = F.size(F.array_intersect("toks", "prev_toks")) / F.greatest(
+        union_n, F.lit(1)
+    ).cast("double")
+    return (
+        paired.select("conv_id", jac.alias("jac"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jac"), 4).alias("avg_selfrep"),
+            F.round(F.max("jac"), 4).alias("max_selfrep"),
+            F.sum((F.col("jac") > 0.5).cast("int")).alias("n_high"),
+        )
+        .orderBy("conv_id")
+    )

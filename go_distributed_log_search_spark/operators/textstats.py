@@ -616,3 +616,124 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         )
         .orderBy("rule")
     )
+
+
+def hhi_concentration(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group token-mass concentration: the Herfindahl–Hirschman index
+    over documents — HHI = Σ_d (tokens_d / tokens_group)², and its inverse
+    (the "effective number of documents").
+
+    The data-mix diagnostic for whether a source's token budget is spread
+    across many documents or dominated by a few giants (a source with
+    HHI → 1 contributes one effective document however many rows it has —
+    exactly what temperature_mix / mix_rebalance weighting must know).
+
+    Scale shape: HHI needs only Σt and Σt² per group, so the whole thing
+    is ONE scan into one partial+final aggregate on the group key —
+    algebraic moments, no per-document state past the map side, no second
+    pass, no window.
+    """
+    t = token_count_expr(F.col(text_col)).cast("double")
+    return (
+        df.select(group_col, t.alias("t"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").cast("long").alias("total_tokens"),
+            F.round(F.sum(F.col("t") * F.col("t")) / (F.sum("t") * F.sum("t")), 4
+                    ).alias("hhi"),
+            F.round((F.sum("t") * F.sum("t")) / F.sum(F.col("t") * F.col("t")), 2
+                    ).alias("effective_docs"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def term_burstiness(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    text_col: str = "text",
+    top_n: int = 30,
+) -> DataFrame:
+    """Church–Gale burstiness for the corpus's top-N terms: mean
+    occurrences per CONTAINING group (burstiness = total_count /
+    n_groups_containing). Content words are bursty (few conversations,
+    many repeats); boilerplate/function words are uniform (burstiness
+    → 1 per containing conversation ceiling) — the classic signal for
+    separating topical vocabulary from template noise before building
+    stopword or boilerplate lists.
+
+    Scale shape: explode → ONE partial+final aggregate on (term, group)
+    (map-side combine collapses within-document repeats), a second
+    vocabulary-sized aggregate on term, and a global top-N via
+    TakeOrderedAndProject — no window over the corpus, no join.
+    """
+    toks = tokenize(F.col(text_col), "default")
+    per_group = (
+        df.select(group_col, F.explode(toks).alias("term"))
+        .groupBy("term", group_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_group.groupBy("term")
+        .agg(
+            F.sum("c").alias("n_total"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.round(F.sum("c") / F.count(F.lit(1)).cast("double"), 4).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("term"))
+        .limit(top_n)
+    )
+
+
+def kl_drift(
+    df: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group unigram-distribution drift from the corpus:
+    KL(P_group ‖ P_corpus) = Σ_t p_g(t) · ln(p_g(t) / p_c(t)).
+
+    The mix-monitoring statistic for "which source's language is drifting
+    away from the blend" — rising KL for one source means its vocabulary
+    distribution is diverging from the corpus it feeds (new domain, new
+    template, broken scraper). No smoothing is needed: every group term
+    is by construction part of the corpus, so p_c(t) > 0 wherever
+    p_g(t) > 0.
+
+    Scale shape: one explode into a (group, term) partial+final
+    aggregate; corpus totals derive from a second VOCABULARY-sized
+    aggregate of that result (not a second corpus scan), joined back on
+    term — vocabulary-sized per partition, broadcast-eligible at any
+    corpus scale because |vocab| ≪ |corpus|.
+    """
+    toks = tokenize(F.col(text_col), "default")
+    gt = (
+        df.select(group_col, F.explode(toks).alias("term"))
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).alias("c_gt"))
+    )
+    corpus = gt.groupBy("term").agg(F.sum("c_gt").alias("c_t"))
+    totals = gt.groupBy(group_col).agg(F.sum("c_gt").alias("n_g"))
+    # corpus grand total: one-row aggregate of the GROUP totals (bounded
+    # by group cardinality), broadcast-cross-joined — never a global
+    # window over the (group, term) table, whose size is |vocab|×|groups|
+    n_c = totals.agg(F.sum("n_g").alias("n_c"))
+    joined = (
+        gt.join(F.broadcast(corpus), "term")
+        .join(F.broadcast(totals), group_col)
+        .crossJoin(F.broadcast(n_c))
+    )
+    p_g = F.col("c_gt") / F.col("n_g").cast("double")
+    p_c = F.col("c_t") / F.col("n_c").cast("double")
+    return (
+        joined.select(group_col, (p_g * F.log(p_g / p_c)).alias("kl_term"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("kl_term"), 4).alias("kl"),
+        )
+        .orderBy(group_col)
+    )

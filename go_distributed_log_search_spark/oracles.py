@@ -2991,3 +2991,84 @@ SELECT source, CAST(rank AS INT) AS rank, doc_id,
        CAST(weight AS BIGINT) AS weight, ROUND(key, 6) AS sample_key
 FROM ranked WHERE rank <= 5 ORDER BY source, rank
 """
+
+# Assistant self-repetition across consecutive assistant turns
+# (operators/chatformat.py:turn_selfrep).
+
+ORACLES["turn_selfrep"] = """WITH_PRELUDE,
+tok AS (
+  SELECT conv_id, turn_idx,
+    list_distinct(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+  FROM transcripts WHERE role = 'assistant'
+),
+paired AS (
+  SELECT conv_id, toks,
+    LAG(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM tok
+),
+jacs AS (
+  SELECT conv_id,
+    len(list_intersect(toks, prev))
+      / CAST(greatest(len(list_distinct(list_concat(toks, prev))), 1)
+             AS DOUBLE) AS jac
+  FROM paired WHERE prev IS NOT NULL
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(jac), 4) AS avg_selfrep, ROUND(MAX(jac), 4) AS max_selfrep,
+       CAST(SUM(CASE WHEN jac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM jacs GROUP BY conv_id ORDER BY conv_id
+"""
+
+# Herfindahl token-mass concentration per source
+# (operators/textstats.py:hhi_concentration).
+
+ORACLES["hhi_concentration"] = """
+WITH t AS (
+  SELECT source,
+    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS t
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS total_tokens,
+       ROUND(SUM(t * t) / (SUM(t) * SUM(t)), 4) AS hhi,
+       ROUND((SUM(t) * SUM(t)) / SUM(t * t), 2) AS effective_docs
+FROM t GROUP BY source ORDER BY source
+"""
+
+# Church–Gale burstiness of the top-30 corpus terms over conversations
+# (operators/textstats.py:term_burstiness).
+
+ORACLES["term_burstiness"] = """WITH_PRELUDE,
+exploded AS (
+  SELECT conv_id,
+    unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM transcripts
+),
+per_group AS (
+  SELECT term, conv_id, COUNT(*) AS c FROM exploded GROUP BY term, conv_id
+)
+SELECT term, CAST(SUM(c) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       ROUND(SUM(c) / CAST(COUNT(*) AS DOUBLE), 4) AS burstiness
+FROM per_group GROUP BY term
+ORDER BY n_total DESC, term LIMIT 30
+"""
+
+# Per-source unigram KL divergence from the corpus blend
+# (operators/textstats.py:kl_drift).
+
+ORACLES["kl_drift"] = f"""WITH {_DOC_TOKS},
+gt AS (SELECT source, unnest(tokens) AS term FROM toks),
+cnt AS (SELECT source, term, COUNT(*) AS c_gt FROM gt GROUP BY source, term),
+corpus AS (SELECT term, SUM(c_gt) AS c_t FROM cnt GROUP BY term),
+totals AS (SELECT source, SUM(c_gt) AS n_g FROM cnt GROUP BY source),
+n AS (SELECT SUM(n_g) AS n_c FROM totals)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+  ROUND(SUM((c_gt / CAST(n_g AS DOUBLE))
+            * ln((c_gt / CAST(n_g AS DOUBLE))
+                 / (c_t / CAST(n_c AS DOUBLE)))), 4) AS kl
+FROM cnt JOIN corpus USING (term) JOIN totals USING (source) CROSS JOIN n
+GROUP BY source ORDER BY source
+"""

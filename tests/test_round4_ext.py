@@ -520,3 +520,71 @@ def test_weighted_sample_is_deterministic_and_weighted(spark):
     # heavy docs (weight 40, ids 50..59) dominate a weighted-by-token draw
     heavy = sum(1 for r in a if r["doc_id"] >= 50)
     assert heavy >= 4
+
+
+def test_turn_selfrep_semantics(spark):
+    from go_distributed_log_search_spark.operators.chatformat import turn_selfrep
+
+    rows = [
+        ("c1", 0, "assistant", "a b c"),
+        ("c1", 1, "user", "ignored interleaved turn"),
+        ("c1", 2, "assistant", "a b c"),    # identical -> jac 1.0
+        ("c1", 3, "assistant", "x y z"),    # disjoint -> jac 0.0
+        ("c2", 0, "assistant", "only one assistant turn"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r["conv_id"]: r for r in turn_selfrep(df).collect()}
+    assert set(out) == {"c1"}
+    assert out["c1"]["n_pairs"] == 2
+    assert out["c1"]["max_selfrep"] == 1.0
+    assert out["c1"]["avg_selfrep"] == 0.5
+    assert out["c1"]["n_high"] == 1
+
+
+def test_hhi_concentration_semantics(spark):
+    from go_distributed_log_search_spark.operators.textstats import hhi_concentration
+
+    rows = [
+        ("even", 0, "a b"), ("even", 1, "c d"),          # 2 equal docs -> HHI 0.5
+        ("skew", 2, "w " * 99), ("skew", 3, "x"),        # 99:1 -> HHI ~0.98
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = {r["source"]: r for r in hhi_concentration(df).collect()}
+    assert out["even"]["hhi"] == 0.5
+    assert out["even"]["effective_docs"] == 2.0
+    assert out["skew"]["hhi"] > 0.95
+    assert out["skew"]["total_tokens"] == 100
+
+
+def test_term_burstiness_semantics(spark):
+    from go_distributed_log_search_spark.operators.textstats import term_burstiness
+
+    rows = [
+        ("c1", "bursty bursty bursty common"),
+        ("c2", "common"),
+        ("c3", "common"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "text"])
+    out = {r["term"]: r for r in term_burstiness(df, top_n=10).collect()}
+    assert out["bursty"]["n_groups"] == 1 and out["bursty"]["burstiness"] == 3.0
+    assert out["common"]["n_groups"] == 3 and out["common"]["burstiness"] == 1.0
+
+
+def test_kl_drift_semantics(spark):
+    from go_distributed_log_search_spark.operators.textstats import kl_drift
+
+    rows = [
+        ("s1", 0, "a a b"), ("s1", 1, "a b b"),
+        ("s2", 2, "a a b"), ("s2", 3, "a b b"),
+        ("s3", 4, "zzz zzz zzz zzz"),  # divergent source
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = {r["source"]: r for r in kl_drift(df).collect()}
+    # identical sources -> identical drift; corpus = {a:6, b:6, zzz:4},
+    # s1 = {a:.5, b:.5} -> KL = ln(16/12) = 0.2877
+    assert out["s1"]["kl"] == out["s2"]["kl"] == 0.2877
+    # disjoint-vocabulary source is the most drifted: KL = ln(16/4)
+    assert out["s3"]["kl"] == round(__import__("math").log(4), 4)
+    # a source matching the corpus blend exactly would score 0
+    one = kl_drift(df.filter("source = 's1'")).collect()
+    assert all(r["kl"] == 0.0 for r in one)
