@@ -137,3 +137,37 @@ def tool_loop_detect(
         )
         .orderBy("tool")
     )
+
+
+def conv_depth_hist(turns: DataFrame) -> DataFrame:
+    """Log2-bucketed conversation-depth histogram: how many conversations
+    have 1, 2-3, 4-7, 8-15, ... turns, and how much token mass each depth
+    band holds.
+
+    The first chart on any transcript-corpus dashboard — packing
+    efficiency, truncation budgets, and curriculum phases all key off the
+    depth distribution. Bucket = floor(log2(n_turns)); depth_min = 2^b.
+
+    Scale shape: per-conv aggregate (count + token sum) on conv_id, then
+    a second aggregate over at most ~40 buckets — the second exchange
+    carries one row per conversation, no text.
+    """
+    from ..operators.textstats import ws_token_count_expr
+
+    per_conv = turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(ws_token_count_expr(F.col("text"))).alias("toks"),
+    )
+    bucket = F.floor(F.log2("n_turns")).cast("int")
+    return (
+        per_conv.select(bucket.alias("bucket"), "n_turns", "toks")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.sum("n_turns").alias("total_turns"),
+            F.sum("toks").alias("total_tokens"),
+        )
+        .withColumn("depth_min", F.pow(F.lit(2.0), F.col("bucket")).cast("long"))
+        .select("bucket", "depth_min", "n_convs", "total_turns", "total_tokens")
+        .orderBy("bucket")
+    )

@@ -151,3 +151,114 @@ def error_cascade(
         )
         .orderBy("error_signature")
     )
+
+
+def tool_error_rate(parsed: DataFrame, k: int = 2) -> DataFrame:
+    """Per-tool failure attribution: the fraction of tool turns followed
+    within k turns (same conversation) by an ERROR-level turn.
+
+    The companion board to error_cascade (error → error): this one asks
+    "which TOOL precedes failures" — the triage view for deciding which
+    tool integration to fix first. A tool turn is charged when ANY of the
+    next k turns carries level=ERROR.
+
+    Scale shape: one conv_id window with a bounded forward frame
+    (ROWS 1..k FOLLOWING) computing a max over a 0/1 error flag — O(k)
+    state per row; the only shuffle is the window exchange, then a
+    |tools|-cardinality aggregate. The text column never rides the
+    shuffle (only tool + the flag).
+    """
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, k)
+    )
+    flagged = parsed.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        (F.col("level") == "ERROR").cast("int").alias("is_err"),
+    ).withColumn("err_ahead", F.coalesce(F.max("is_err").over(w), F.lit(0)))
+    return (
+        flagged.filter(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum("err_ahead").alias("n_err_follow"),
+            F.round(
+                F.sum("err_ahead") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("err_rate"),
+        )
+        .orderBy("tool")
+    )
+
+
+def conv_gap_sessions(turns: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Idle-gap session splits WITHIN conversations: a new session starts
+    whenever the wall-clock gap from the previous turn exceeds ``gap_s``
+    seconds (default 30 min).
+
+    Long-running agent conversations span hours; training-sample and
+    billing boundaries usually follow idle gaps, not conversation ids.
+    Output per conversation: turn count, session count, and the largest
+    observed gap. (The events-table analog keyed by user is `sessionize`;
+    this is the transcript-axis variant keyed by conversation.)
+
+    Scale shape: one lag() window over (conv_id, turn_idx) fused with the
+    per-conv aggregate on the same key — a single exchange carrying
+    (conv_id, turn_idx, ts) only.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = F.col("ts").cast("double")
+    gaps = turns.select(
+        "conv_id", (t - F.lag(t).over(w)).alias("gap")
+    )
+    return (
+        gaps.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            # when(...).otherwise(0), not a bare cast: a single-turn
+            # conversation's only gap is NULL and must count as 0 splits
+            (F.sum(F.when(F.col("gap") > gap_s, 1).otherwise(0)) + 1).alias(
+                "n_sessions"
+            ),
+            F.round(F.coalesce(F.max("gap"), F.lit(0.0)), 1).alias("max_gap_s"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def ooo_turns(turns: DataFrame) -> DataFrame:
+    """Out-of-order timestamp audit: adjacent turn pairs (in turn_idx
+    order) whose wall clock goes BACKWARDS — the telemetry-hygiene check
+    behind latency_stats' >= 0 clamp. Real agent logs interleave clocks
+    from multiple hosts; a rising backward-jump rate means the ingest's
+    ordering key can no longer be trusted for latency math.
+
+    Output per conversation with at least one violation: pair count,
+    backward-pair count and rate, and the largest backward jump in
+    seconds. One lag() window fused with the conv aggregate (same key,
+    single exchange); the global report stays small because ordered
+    conversations are filtered out.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = F.col("ts").cast("double")
+    pairs = (
+        turns.select("conv_id", (t - F.lag(t).over(w)).alias("delta"))
+        .filter(F.col("delta").isNotNull())
+    )
+    return (
+        pairs.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("delta") < 0).cast("long")).alias("n_backward"),
+            F.round(
+                F.sum((F.col("delta") < 0).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("backward_rate"),
+            F.round(-F.least(F.min("delta"), F.lit(0.0)), 1).alias("max_jump_s"),
+        )
+        .filter(F.col("n_backward") > 0)
+        .orderBy("conv_id")
+    )

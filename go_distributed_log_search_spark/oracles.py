@@ -3072,3 +3072,79 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
 FROM cnt JOIN corpus USING (term) JOIN totals USING (source) CROSS JOIN n
 GROUP BY source ORDER BY source
 """
+
+# Per-tool failure attribution (operators/telemetry.py:tool_error_rate):
+# a tool turn is charged when any of the next 2 turns is level=ERROR.
+
+ORACLES["tool_error_rate"] = f"""WITH_PRELUDE, {_PARSED},
+flagged AS (
+  SELECT conv_id, turn_idx, tool,
+    COALESCE(MAX(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING), 0) AS err_ahead
+  FROM parsed
+)
+SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(SUM(err_ahead) AS BIGINT) AS n_err_follow,
+       ROUND(SUM(err_ahead) / CAST(COUNT(*) AS DOUBLE), 4) AS err_rate
+FROM flagged WHERE tool IS NOT NULL GROUP BY tool ORDER BY tool
+"""
+
+# Idle-gap session splits within conversations
+# (operators/telemetry.py:conv_gap_sessions), gap threshold 1800 s.
+
+ORACLES["conv_gap_sessions"] = """WITH_PRELUDE,
+gaps AS (
+  SELECT conv_id,
+    epoch(CAST(ts AS TIMESTAMP))
+      - LAG(epoch(CAST(ts AS TIMESTAMP)))
+          OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+  FROM transcripts
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+         AS n_sessions,
+       ROUND(COALESCE(MAX(gap), 0.0), 1) AS max_gap_s
+FROM gaps GROUP BY conv_id ORDER BY conv_id
+"""
+
+# Out-of-order timestamp audit (operators/telemetry.py:ooo_turns) —
+# only conversations with at least one backward adjacent pair.
+
+ORACLES["ooo_turns"] = """WITH_PRELUDE,
+deltas AS (
+  SELECT conv_id,
+    epoch(CAST(ts AS TIMESTAMP))
+      - LAG(epoch(CAST(ts AS TIMESTAMP)))
+          OVER (PARTITION BY conv_id ORDER BY turn_idx) AS delta
+  FROM transcripts
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_backward,
+       ROUND(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS backward_rate,
+       ROUND(-LEAST(MIN(delta), 0.0), 1) AS max_jump_s
+FROM deltas WHERE delta IS NOT NULL
+GROUP BY conv_id HAVING SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) > 0
+ORDER BY conv_id
+"""
+
+# Log2-bucketed conversation-depth histogram
+# (operators/convstruct.py:conv_depth_hist).
+
+ORACLES["conv_depth_hist"] = """WITH_PRELUDE,
+per_conv AS (
+  SELECT conv_id, COUNT(*) AS n_turns,
+         SUM(len(regexp_extract_all(text, '\\S+'))) AS toks
+  FROM transcripts GROUP BY conv_id
+)
+SELECT bucket,
+       CAST(pow(2.0, bucket) AS BIGINT) AS depth_min,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(n_turns) AS BIGINT) AS total_turns,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens
+FROM (SELECT CAST(floor(log2(n_turns)) AS INT) AS bucket, n_turns, toks
+      FROM per_conv)
+GROUP BY bucket ORDER BY bucket
+"""

@@ -588,3 +588,69 @@ def test_kl_drift_semantics(spark):
     # a source matching the corpus blend exactly would score 0
     one = kl_drift(df.filter("source = 's1'")).collect()
     assert all(r["kl"] == 0.0 for r in one)
+
+
+def test_tool_error_rate_semantics(spark):
+    from go_distributed_log_search_spark.operators.telemetry import tool_error_rate
+
+    rows = [
+        # bash call at 0; ERROR at 2 (within k=2) -> charged
+        ("c1", 0, "bash", None), ("c1", 1, None, None), ("c1", 2, None, "ERROR"),
+        # calc call at 3; next turns clean -> not charged
+        ("c1", 3, "calc", None), ("c1", 4, None, None), ("c1", 5, None, None),
+        # search call at the conversation tail (empty forward frame)
+        ("c2", 0, "search", None),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "tool", "level"])
+    out = {r["tool"]: r for r in tool_error_rate(df, k=2).collect()}
+    assert out["bash"]["n_err_follow"] == 1 and out["bash"]["err_rate"] == 1.0
+    assert out["calc"]["n_err_follow"] == 0
+    assert out["search"]["n_err_follow"] == 0
+
+
+def test_conv_gap_sessions_semantics(spark):
+    import datetime as dt
+
+    from go_distributed_log_search_spark.operators.telemetry import conv_gap_sessions
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, t0),
+        ("c1", 1, t0 + dt.timedelta(minutes=5)),     # same session
+        ("c1", 2, t0 + dt.timedelta(hours=2)),       # gap > 30 min -> new session
+        ("c2", 0, t0),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts"])
+    out = {r["conv_id"]: r for r in conv_gap_sessions(df).collect()}
+    assert out["c1"]["n_sessions"] == 2
+    assert out["c1"]["max_gap_s"] == 2 * 3600 - 5 * 60
+    assert out["c2"]["n_sessions"] == 1 and out["c2"]["max_gap_s"] == 0.0
+
+
+def test_ooo_turns_semantics(spark):
+    import datetime as dt
+
+    from go_distributed_log_search_spark.operators.telemetry import ooo_turns
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, t0),
+        ("c1", 1, t0 - dt.timedelta(seconds=30)),  # clock goes backwards
+        ("c1", 2, t0 + dt.timedelta(seconds=10)),
+        ("c2", 0, t0), ("c2", 1, t0 + dt.timedelta(seconds=1)),  # ordered
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts"])
+    out = ooo_turns(df).collect()
+    assert [r["conv_id"] for r in out] == ["c1"]  # ordered convs filtered
+    assert out[0]["n_backward"] == 1 and out[0]["max_jump_s"] == 30.0
+
+
+def test_conv_depth_hist_semantics(spark):
+    from go_distributed_log_search_spark.operators.convstruct import conv_depth_hist
+
+    rows = [("c1", i, "w w") for i in range(5)] + [("c2", 0, "x")]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = {r["bucket"]: r for r in conv_depth_hist(df).collect()}
+    assert out[2]["depth_min"] == 4 and out[2]["n_convs"] == 1  # 5 turns -> bucket 2
+    assert out[2]["total_tokens"] == 10
+    assert out[0]["depth_min"] == 1 and out[0]["n_convs"] == 1
