@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOOL_MARKER_RE = r"<tool:(\w+) arg=([\w-]+)>"
@@ -62,4 +62,46 @@ def tool_call_audit(
         agg.join(F.broadcast(reg), "tool", "left")
         .withColumn("in_registry", F.coalesce("in_registry", F.lit(False)))
         .orderBy("tool")
+    )
+
+
+def tool_bigrams(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tool-to-tool transition matrix: for consecutive TOOL turns of a
+    conversation (non-tool turns skipped), count each (prev_tool →
+    next_tool) bigram and its outgoing transition probability.
+
+    The tool-axis Markov chain — which tool an agent reaches for after
+    which — used for workflow mining and for spotting degenerate
+    tool-call habits that tool_loop_detect's same-tool runs don't cover
+    (e.g. a search→browser→search ping-pong). Events-axis analog:
+    transition_matrix (user-journey event bigrams).
+
+    Scale shape: the tool filter prunes to the tool-turn minority BEFORE
+    the single lead() window over (conv, idx); the aggregate and its
+    row-probability window both run on the |tools|²-bounded matrix, not
+    the corpus.
+    """
+    w = F.lead("prev_tool").over(
+        Window.partitionBy(conv_col).orderBy(idx_col)
+    )
+    pairs = (
+        turns.filter(F.col(tool_col).isNotNull())
+        .select(conv_col, idx_col, F.col(tool_col).alias("prev_tool"))
+        .withColumn("next_tool", w)
+        .filter(F.col("next_tool").isNotNull())
+    )
+    cnt = pairs.groupBy("prev_tool", "next_tool").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out_total = F.sum("n").over(
+        Window.partitionBy("prev_tool")  # |tools|²-row table, bounded
+    )
+    return (
+        cnt.withColumn("prob", F.round(F.col("n") / out_total.cast("double"), 4))
+        .orderBy("prev_tool", "next_tool")
     )

@@ -737,3 +737,44 @@ def kl_drift(
         )
         .orderBy(group_col)
     )
+
+
+def vocab_novelty_trend(
+    df: DataFrame, ts_col: str = "ts", text_col: str = "text"
+) -> DataFrame:
+    """Per-day vocabulary novelty: how many of the day's distinct terms
+    are corpus-first-seen that day — the vocabulary-axis companion to
+    dup_rate_trend (which tracks whole-text replays). A novelty-rate
+    step change means the ingest's LANGUAGE moved (new domain, new
+    tool's output format, new locale), which token budgets and tokenizer
+    fertility planning need to know before the mix shifts.
+
+    A term is charged to its corpus-wide first day. Output (day asc):
+    (day, n_tokens, n_terms, n_new_terms, novelty_rate).
+
+    Scale shape: explode → (day, term) partial+final aggregate (map-side
+    combine collapses within-doc repeats), a VOCABULARY-sized min-day
+    aggregate, and a broadcast equi-join back — the corpus scans once,
+    and nothing larger than |vocab| × |days| ever shuffles.
+    """
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    tok = df.select(
+        day.alias("day"),
+        F.explode(tokenize(F.col(text_col), "default")).alias("term"),
+    )
+    per = tok.groupBy("day", "term").agg(F.count(F.lit(1)).alias("c"))
+    first = per.groupBy("term").agg(F.min("day").alias("fd"))
+    new_flag = (F.col("day") == F.col("fd")).cast("long")
+    return (
+        per.join(F.broadcast(first), "term")
+        .groupBy("day")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(new_flag).alias("n_new_terms"),
+            F.round(
+                F.sum(new_flag) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("novelty_rate"),
+        )
+        .orderBy("day")
+    )

@@ -3148,3 +3148,46 @@ FROM (SELECT CAST(floor(log2(n_turns)) AS INT) AS bucket, n_turns, toks
       FROM per_conv)
 GROUP BY bucket ORDER BY bucket
 """
+
+# Per-day vocabulary novelty (operators/textstats.py:vocab_novelty_trend):
+# a term is new on its corpus-wide first day.
+
+ORACLES["vocab_novelty_trend"] = """WITH_PRELUDE,
+tok AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+    unnest(list_filter(
+      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM transcripts
+),
+per AS (SELECT day, term, COUNT(*) AS c FROM tok GROUP BY day, term),
+first_day AS (SELECT term, MIN(day) AS fd FROM per GROUP BY term)
+SELECT day, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_terms,
+       ROUND(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS novelty_rate
+FROM per JOIN first_day USING (term)
+GROUP BY day ORDER BY day
+"""
+
+# Tool-to-tool transition matrix (operators/agenttools.py:tool_bigrams).
+
+ORACLES["tool_bigrams"] = """WITH_PRELUDE,
+t AS (
+  SELECT conv_id, turn_idx, tool FROM transcripts WHERE tool IS NOT NULL
+),
+pairs AS (
+  SELECT tool AS prev_tool,
+         LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+  FROM t
+),
+cnt AS (
+  SELECT prev_tool, next_tool, COUNT(*) AS n
+  FROM pairs WHERE next_tool IS NOT NULL GROUP BY prev_tool, next_tool
+)
+SELECT prev_tool, next_tool, CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_tool) AS DOUBLE), 4)
+         AS prob
+FROM cnt ORDER BY prev_tool, next_tool
+"""

@@ -1964,6 +1964,23 @@ def q_conv_depth_hist(spark, sf_dir):
     return convstruct.conv_depth_hist(_t(spark, sf_dir))
 
 
+def q_vocab_novelty_trend(spark, sf_dir):
+    """Per-day new-vocabulary rate (vocabulary-axis drift monitor,
+    companion to dup_rate_trend) — operators/textstats.py:
+    vocab_novelty_trend. (day, term) aggregate + vocabulary-sized
+    min-day broadcast join; single corpus scan."""
+    return textstats.vocab_novelty_trend(_t(spark, sf_dir))
+
+
+def q_tool_bigrams(spark, sf_dir):
+    """Tool→tool transition matrix with outgoing probabilities —
+    operators/agenttools.py:tool_bigrams. Tool filter prunes before the
+    lead() window; probability window runs on the |tools|² matrix."""
+    from .operators import agenttools
+
+    return agenttools.tool_bigrams(_t(spark, sf_dir))
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -2126,4 +2143,6 @@ SPARK_QUERIES = {
     "conv_gap_sessions": q_conv_gap_sessions,
     "ooo_turns": q_ooo_turns,
     "conv_depth_hist": q_conv_depth_hist,
+    "vocab_novelty_trend": q_vocab_novelty_trend,
+    "tool_bigrams": q_tool_bigrams,
 }

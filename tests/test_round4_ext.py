@@ -654,3 +654,44 @@ def test_conv_depth_hist_semantics(spark):
     assert out[2]["depth_min"] == 4 and out[2]["n_convs"] == 1  # 5 turns -> bucket 2
     assert out[2]["total_tokens"] == 10
     assert out[0]["depth_min"] == 1 and out[0]["n_convs"] == 1
+
+
+def test_vocab_novelty_trend_semantics(spark):
+    import datetime as dt
+
+    from go_distributed_log_search_spark.operators.textstats import (
+        vocab_novelty_trend,
+    )
+
+    d1, d2 = dt.datetime(2026, 1, 1), dt.datetime(2026, 1, 2)
+    rows = [
+        (d1, "alpha beta"),            # day 1: both terms new
+        (d2, "alpha gamma gamma"),     # day 2: gamma new, alpha carried over
+    ]
+    df = spark.createDataFrame(rows, ["ts", "text"])
+    out = {r["day"]: r for r in vocab_novelty_trend(df).collect()}
+    assert out["2026-01-01"]["n_new_terms"] == 2
+    assert out["2026-01-01"]["novelty_rate"] == 1.0
+    assert out["2026-01-02"]["n_terms"] == 2
+    assert out["2026-01-02"]["n_new_terms"] == 1
+    assert out["2026-01-02"]["novelty_rate"] == 0.5
+    assert out["2026-01-02"]["n_tokens"] == 3
+
+
+def test_tool_bigrams_semantics(spark):
+    from go_distributed_log_search_spark.operators.agenttools import tool_bigrams
+
+    rows = [
+        # c1 tool sequence (non-tool turns skipped): search -> bash -> search
+        ("c1", 0, "search"), ("c1", 1, None), ("c1", 2, "bash"),
+        ("c1", 3, "search"),
+        # c2: search -> browser
+        ("c2", 0, "search"), ("c2", 1, "browser"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "tool"])
+    out = {(r["prev_tool"], r["next_tool"]): r for r in tool_bigrams(df).collect()}
+    assert out[("search", "bash")]["n"] == 1
+    assert out[("search", "bash")]["prob"] == 0.5   # search fans out to 2
+    assert out[("search", "browser")]["prob"] == 0.5
+    assert out[("bash", "search")]["prob"] == 1.0
+    assert ("search", None) not in out
