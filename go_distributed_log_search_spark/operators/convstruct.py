@@ -171,3 +171,38 @@ def conv_depth_hist(turns: DataFrame) -> DataFrame:
         .select("bucket", "depth_min", "n_convs", "total_turns", "total_tokens")
         .orderBy("bucket")
     )
+
+
+def conv_outcomes(parsed: DataFrame) -> DataFrame:
+    """How conversations END: the last turn's role and error level,
+    counted across the corpus.
+
+    The triage table for agent reliability — "what fraction of
+    conversations end on an unanswered tool call or an ERROR line" is
+    the first question asked of any transcript corpus, and SFT filtering
+    usually drops conversations that end mid-exchange. Output:
+    (last_role, last_level, n_convs, avg_turns), level NONE when the
+    final turn carries no level field.
+
+    Scale shape: a single struct-max aggregate per conversation (max on
+    (turn_idx, role, level) — turn_idx is unique per conv so the max is
+    the last turn; no window, no second corpus shuffle), then an
+    outcome-cardinality aggregate.
+    """
+    last = parsed.groupBy("conv_id").agg(
+        F.max(F.struct("turn_idx", "role", "level")).alias("s"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    return (
+        last.select(
+            F.col("s.role").alias("last_role"),
+            F.coalesce(F.col("s.level"), F.lit("NONE")).alias("last_level"),
+            "n_turns",
+        )
+        .groupBy("last_role", "last_level")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.round(F.avg("n_turns"), 2).alias("avg_turns"),
+        )
+        .orderBy("last_role", "last_level")
+    )

@@ -262,3 +262,40 @@ def ooo_turns(turns: DataFrame) -> DataFrame:
         .filter(F.col("n_backward") > 0)
         .orderBy("conv_id")
     )
+
+
+def ingest_volume_trend(turns: DataFrame) -> DataFrame:
+    """Per-day ingest volume with the cumulative token share — the
+    capacity-planning curve (how fast is the corpus growing, and what
+    fraction of today's total arrived by each day).
+
+    Scale shape: one corpus scan into a |days|-cardinality aggregate;
+    the running sum and grand total are windows over the aggregated
+    per-day table — bounded by the calendar, not the data (the safe kind
+    of unpartitioned window, same reasoning as filter_cascade's stage
+    table).
+    """
+    from .textstats import ws_token_count_expr
+
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    per_day = (
+        turns.select(day.alias("day"), ws_token_count_expr(F.col("text")).alias("t"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("t").alias("n_tokens"),
+        )
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        per_day.withColumn("cum_tokens", F.sum("n_tokens").over(w_cum))
+        .withColumn(
+            "cum_frac",
+            F.round(
+                F.col("cum_tokens") / F.sum("n_tokens").over(w_all).cast("double"),
+                4,
+            ),
+        )
+        .orderBy("day")
+    )

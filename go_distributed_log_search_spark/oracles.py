@@ -3191,3 +3191,41 @@ SELECT prev_tool, next_tool, CAST(n AS BIGINT) AS n,
          AS prob
 FROM cnt ORDER BY prev_tool, next_tool
 """
+
+# Conversation outcomes: last turn's role/level per conversation
+# (operators/convstruct.py:conv_outcomes).
+
+ORACLES["conv_outcomes"] = f"""WITH_PRELUDE, {_PARSED},
+ranked AS (
+  SELECT conv_id, role, level,
+    COUNT(*) OVER (PARTITION BY conv_id) AS n_turns,
+    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn
+  FROM parsed
+)
+SELECT role AS last_role, COALESCE(level, 'NONE') AS last_level,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       ROUND(AVG(n_turns), 2) AS avg_turns
+FROM ranked WHERE rn = 1
+GROUP BY last_role, last_level ORDER BY last_role, last_level
+"""
+
+# Per-day ingest volume + cumulative token share
+# (operators/telemetry.py:ingest_volume_trend).
+
+ORACLES["ingest_volume_trend"] = """WITH_PRELUDE,
+per_day AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         COUNT(*) AS n_turns,
+         SUM(len(regexp_extract_all(text, '\\S+'))) AS n_tokens
+  FROM transcripts GROUP BY day
+)
+SELECT day, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       ROUND(SUM(n_tokens) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(SUM(n_tokens) OVER () AS DOUBLE), 4) AS cum_frac
+FROM per_day ORDER BY day
+"""

@@ -1981,6 +1981,26 @@ def q_tool_bigrams(spark, sf_dir):
     return agenttools.tool_bigrams(_t(spark, sf_dir))
 
 
+def q_conv_outcomes(spark, sf_dir):
+    """How conversations end (last turn's role/level) — operators/
+    convstruct.py:conv_outcomes. Struct-max per conversation, no
+    window."""
+    from .operators import convstruct
+
+    return convstruct.conv_outcomes(
+        parse.parse_turns(_t(spark, sf_dir), dynamic=False)
+    )
+
+
+def q_ingest_volume_trend(spark, sf_dir):
+    """Per-day ingest volume with cumulative token share — operators/
+    telemetry.py:ingest_volume_trend. Calendar-bounded windows over the
+    per-day aggregate."""
+    from .operators import telemetry
+
+    return telemetry.ingest_volume_trend(_t(spark, sf_dir))
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -2145,4 +2165,6 @@ SPARK_QUERIES = {
     "conv_depth_hist": q_conv_depth_hist,
     "vocab_novelty_trend": q_vocab_novelty_trend,
     "tool_bigrams": q_tool_bigrams,
+    "conv_outcomes": q_conv_outcomes,
+    "ingest_volume_trend": q_ingest_volume_trend,
 }

@@ -695,3 +695,37 @@ def test_tool_bigrams_semantics(spark):
     assert out[("search", "browser")]["prob"] == 0.5
     assert out[("bash", "search")]["prob"] == 1.0
     assert ("search", None) not in out
+
+
+def test_conv_outcomes_semantics(spark):
+    from go_distributed_log_search_spark.operators.convstruct import conv_outcomes
+
+    rows = [
+        ("c1", 0, "system", None), ("c1", 1, "assistant", "ERROR"),
+        ("c2", 0, "user", None), ("c2", 1, "tool", None),
+        ("c3", 0, "tool", None),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "level"])
+    out = {(r["last_role"], r["last_level"]): r for r in conv_outcomes(df).collect()}
+    assert out[("assistant", "ERROR")]["n_convs"] == 1
+    assert out[("assistant", "ERROR")]["avg_turns"] == 2.0
+    assert out[("tool", "NONE")]["n_convs"] == 2
+    assert out[("tool", "NONE")]["avg_turns"] == 1.5
+
+
+def test_ingest_volume_trend_semantics(spark):
+    import datetime as dt
+
+    from go_distributed_log_search_spark.operators.telemetry import (
+        ingest_volume_trend,
+    )
+
+    d1, d2 = dt.datetime(2026, 1, 1), dt.datetime(2026, 1, 2)
+    rows = [(d1, "one two"), (d1, "three"), (d2, "four five six seven")]
+    df = spark.createDataFrame(rows, ["ts", "text"])
+    out = {r["day"]: r for r in ingest_volume_trend(df).collect()}
+    assert out["2026-01-01"]["n_turns"] == 2
+    assert out["2026-01-01"]["n_tokens"] == 3
+    assert out["2026-01-01"]["cum_frac"] == round(3 / 7, 4)
+    assert out["2026-01-02"]["cum_tokens"] == 7
+    assert out["2026-01-02"]["cum_frac"] == 1.0
