@@ -497,11 +497,13 @@ def echo_rate(turns: DataFrame, min_user_tokens: int = 1) -> DataFrame:
 
     Scale shape: a single lead() window over (conv_id, turn_idx) — state
     bounded by conversation length, not corpus size — feeding a
-    partial+final hash aggregate on conv_id. The shuffle carries token
-    ARRAYS only for turns that start a pair; everything else is pruned by
-    the role predicate before the exchange. No self-join (the naive
-    formulation joins turns to turns on (conv_id, turn_idx+1), which
-    shuffles the corpus twice).
+    partial+final hash aggregate on conv_id. System/tool turns are
+    dropped BEFORE the window exchange (adjacency is still exact: the
+    lead row must sit at turn_idx + 1, so a pair only forms when the
+    assistant turn directly follows the user turn with nothing between),
+    which keeps their token arrays off the shuffle entirely. No
+    self-join (the naive formulation joins turns to turns on
+    (conv_id, turn_idx+1), which shuffles the corpus twice).
 
     Reference parity: extension operator (build brief §training-pipeline);
     the reference's unit is a single log line (main.go:1) with no
@@ -510,12 +512,15 @@ def echo_rate(turns: DataFrame, min_user_tokens: int = 1) -> DataFrame:
     w = W.partitionBy("conv_id").orderBy("turn_idx")
     toks = F.array_distinct(tokenize(F.col("text"), "default"))
     paired = (
-        turns.select("conv_id", "turn_idx", "role", toks.alias("toks"))
+        turns.filter(F.col("role").isin("user", "assistant"))
+        .select("conv_id", "turn_idx", "role", toks.alias("toks"))
         .withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_idx", F.lead("turn_idx").over(w))
         .withColumn("next_toks", F.lead("toks").over(w))
         .filter(
             (F.col("role") == "user")
             & (F.col("next_role") == "assistant")
+            & (F.col("next_idx") == F.col("turn_idx") + 1)
             & (F.size("toks") >= min_user_tokens)
         )
     )

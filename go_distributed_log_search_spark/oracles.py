@@ -2859,11 +2859,12 @@ tok AS (
   SELECT conv_id, turn_idx, role,
     list_distinct(list_filter(
       string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
-  FROM transcripts
+  FROM transcripts WHERE role IN ('user', 'assistant')
 ),
 paired AS (
-  SELECT conv_id, role, toks,
+  SELECT conv_id, role, turn_idx, toks,
     LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+    LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_idx,
     LEAD(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_toks
   FROM tok
 ),
@@ -2871,7 +2872,8 @@ echoes AS (
   SELECT conv_id,
     len(list_intersect(toks, next_toks)) / CAST(len(toks) AS DOUBLE) AS echo
   FROM paired
-  WHERE role = 'user' AND next_role = 'assistant' AND len(toks) >= 1
+  WHERE role = 'user' AND next_role = 'assistant'
+    AND next_idx = turn_idx + 1 AND len(toks) >= 1
 )
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        ROUND(AVG(echo), 4) AS avg_echo, ROUND(MAX(echo), 4) AS max_echo
