@@ -619,3 +619,48 @@ def turn_selfrep(turns: DataFrame) -> DataFrame:
         )
         .orderBy("conv_id")
     )
+
+
+def turn_position_profile(turns: DataFrame, n_buckets: int = 5) -> DataFrame:
+    """Token mass by RELATIVE position inside the conversation: bucket
+    turns into n_buckets quantile bands of turn_idx / n_turns and report
+    each band's turn count, mean token length, and share of total token
+    mass.
+
+    The curve that decides truncation policy: if the final band holds
+    most of the token mass, drop-oldest truncation is cheap; if mass is
+    front-loaded (long system prompts / pasted context), it is not.
+
+    Scale shape: n_turns comes from an unordered count() window over the
+    conv_id partition — same single exchange the position math needs; the
+    banding aggregate has n_buckets keys and the share denominator is a
+    window over that n_buckets-row table (bounded by the band count, the
+    safe kind of unpartitioned window).
+    """
+    w_conv = W.partitionBy("conv_id")
+    tok = turns.select(
+        "conv_id",
+        "turn_idx",
+        ws_token_count_expr(F.col("text")).alias("n_tok"),
+    ).withColumn("n_turns", F.count(F.lit(1)).over(w_conv))
+    bucket = F.least(
+        F.floor(F.lit(n_buckets) * F.col("turn_idx") / F.col("n_turns")),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    per_bucket = (
+        tok.select(bucket.alias("bucket"), "n_tok")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.sum("n_tok").alias("_toks"),
+        )
+    )
+    total = F.sum("_toks").over(W.partitionBy())
+    return (
+        per_bucket.withColumn(
+            "token_share", F.round(F.col("_toks") / total.cast("double"), 4)
+        )
+        .select("bucket", "n_turns", "avg_tokens", "token_share")
+        .orderBy("bucket")
+    )

@@ -206,3 +206,49 @@ def conv_outcomes(parsed: DataFrame) -> DataFrame:
         )
         .orderBy("last_role", "last_level")
     )
+
+
+def system_prompt_stats(turns: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k system prompts by conversation count: group conversations by
+    the normalized fingerprint of their turn-0 SYSTEM text and report how
+    many conversations share each prompt and how long those conversations
+    run.
+
+    The deployment-mix census (which system prompts drive the traffic)
+    and the over-weighting check before SFT: a prompt shared by 10^5
+    conversations contributes 10^5 near-identical openings unless
+    downsampled. Complementary to boilerplate_turns (any turn repeated
+    across conversations) and prefix_sharing (fingerprint CHAINS at every
+    depth): this keys specifically on the opening system turn.
+
+    Output: (example, n_convs, avg_turns), n_convs desc / example asc,
+    limit k.
+
+    Scale shape: per-conv turn counts and the system-turn fingerprint
+    both aggregate on conv_id (co-partitioned equi-join, no extra
+    exchange shape at scale on a conv-bucketed table); the prompt-level
+    aggregate keys on the fingerprint — prompt cardinality, not corpus —
+    and orderBy+limit folds to TakeOrderedAndProject.
+    """
+    from .textstats import fingerprint_expr
+
+    sys_turns = turns.filter(
+        (F.col("turn_idx") == 0) & (F.col("role") == "system")
+    ).select(
+        "conv_id",
+        fingerprint_expr(F.col("text")).alias("fp"),
+        F.col("text"),
+    )
+    n_turns = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    return (
+        sys_turns.join(n_turns, "conv_id")
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.round(F.avg("n_turns"), 2).alias("avg_turns"),
+            F.min("text").alias("example"),
+        )
+        .orderBy(F.col("n_convs").desc(), F.col("example"))
+        .limit(k)
+        .select("example", "n_convs", "avg_turns")
+    )

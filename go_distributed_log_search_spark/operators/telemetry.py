@@ -299,3 +299,40 @@ def ingest_volume_trend(turns: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def ttfr_stats(turns: DataFrame) -> DataFrame:
+    """Time-to-first-response: seconds from a conversation's FIRST user
+    turn to its FIRST assistant turn, summarized corpus-wide — the
+    serving-side latency metric (TTFR) every agent deployment tracks,
+    complementary to latency_stats (which keys on every adjacent role
+    transition, not the conversation-opening experience).
+
+    Conversations lacking either role, or whose first assistant turn
+    precedes the first user turn (assistant-initiated), are excluded.
+    Output: ONE row — (n_convs, avg_s, p50_s, p95_s, max_s).
+
+    Scale shape: two conditional min-aggregates per conversation inside
+    a single partial+final groupBy(conv_id) — no window, no join — then
+    a global percentile aggregate over one row per conversation.
+    """
+    t = F.col("ts").cast("double")
+    per = turns.groupBy("conv_id").agg(
+        F.min(F.when(F.col("role") == "user", t)).alias("t_u"),
+        F.min(F.when(F.col("role") == "assistant", t)).alias("t_a"),
+    )
+    ttfr = (
+        per.filter(
+            F.col("t_u").isNotNull()
+            & F.col("t_a").isNotNull()
+            & (F.col("t_a") >= F.col("t_u"))
+        )
+        .select((F.col("t_a") - F.col("t_u")).alias("s"))
+    )
+    return ttfr.agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.round(F.avg("s"), 4).alias("avg_s"),
+        F.round(F.percentile(F.col("s"), F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile(F.col("s"), F.lit(0.95)), 4).alias("p95_s"),
+        F.round(F.max("s"), 4).alias("max_s"),
+    )

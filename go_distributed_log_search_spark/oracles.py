@@ -3231,3 +3231,64 @@ SELECT day, CAST(n_turns AS BIGINT) AS n_turns,
              / CAST(SUM(n_tokens) OVER () AS DOUBLE), 4) AS cum_frac
 FROM per_day ORDER BY day
 """
+
+# Time-to-first-response percentiles (operators/telemetry.py:ttfr_stats).
+
+ORACLES["ttfr_stats"] = """WITH_PRELUDE,
+per AS (
+  SELECT conv_id,
+    MIN(CASE WHEN role = 'user'
+        THEN epoch(CAST(ts AS TIMESTAMP)) END) AS t_u,
+    MIN(CASE WHEN role = 'assistant'
+        THEN epoch(CAST(ts AS TIMESTAMP)) END) AS t_a
+  FROM transcripts GROUP BY conv_id
+),
+s AS (
+  SELECT t_a - t_u AS s FROM per
+  WHERE t_u IS NOT NULL AND t_a IS NOT NULL AND t_a >= t_u
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_convs, ROUND(AVG(s), 4) AS avg_s,
+       ROUND(quantile_cont(s, 0.5), 4) AS p50_s,
+       ROUND(quantile_cont(s, 0.95), 4) AS p95_s,
+       ROUND(MAX(s), 4) AS max_s
+FROM s
+"""
+
+# Token mass by relative turn position
+# (operators/chatformat.py:turn_position_profile), 5 bands.
+
+ORACLES["turn_position_profile"] = """WITH_PRELUDE,
+tok AS (
+  SELECT conv_id, turn_idx,
+    len(regexp_extract_all(text, '\\S+')) AS n_tok,
+    COUNT(*) OVER (PARTITION BY conv_id) AS n_turns
+  FROM transcripts
+),
+agg AS (
+  SELECT CAST(least(floor(5 * turn_idx / n_turns), 4) AS INT) AS bucket,
+         COUNT(*) AS n_turns, ROUND(AVG(n_tok), 4) AS avg_tokens,
+         SUM(n_tok) AS toks
+  FROM tok GROUP BY bucket
+)
+SELECT bucket, CAST(n_turns AS BIGINT) AS n_turns, avg_tokens,
+       ROUND(toks / CAST(SUM(toks) OVER () AS DOUBLE), 4) AS token_share
+FROM agg ORDER BY bucket
+"""
+
+# Top-k system prompts by conversation count
+# (operators/convstruct.py:system_prompt_stats).
+
+ORACLES["system_prompt_stats"] = f"""WITH_PRELUDE,
+sys AS (
+  SELECT conv_id, {_FP} AS fp, text
+  FROM transcripts WHERE turn_idx = 0 AND role = 'system'
+),
+nt AS (SELECT conv_id, COUNT(*) AS n_turns FROM transcripts GROUP BY conv_id),
+agg AS (
+  SELECT fp, COUNT(*) AS n_convs, ROUND(AVG(n_turns), 2) AS avg_turns,
+         MIN(text) AS example
+  FROM sys JOIN nt USING (conv_id) GROUP BY fp
+)
+SELECT example, CAST(n_convs AS BIGINT) AS n_convs, avg_turns
+FROM agg ORDER BY n_convs DESC, example LIMIT 20
+"""

@@ -2001,6 +2001,31 @@ def q_ingest_volume_trend(spark, sf_dir):
     return telemetry.ingest_volume_trend(_t(spark, sf_dir))
 
 
+def q_ttfr_stats(spark, sf_dir):
+    """Time-to-first-response percentiles (first user turn → first
+    assistant turn) — operators/telemetry.py:ttfr_stats. Conditional
+    min-aggregates per conversation; no window."""
+    from .operators import telemetry
+
+    return telemetry.ttfr_stats(_t(spark, sf_dir))
+
+
+def q_turn_position_profile(spark, sf_dir):
+    """Token mass by relative turn position (5 bands) — operators/
+    chatformat.py:turn_position_profile. Unordered conv window + a
+    5-key aggregate."""
+    return chatformat.turn_position_profile(_t(spark, sf_dir))
+
+
+def q_system_prompt_stats(spark, sf_dir):
+    """Top-k system prompts by conversation count with conversation
+    lengths — operators/convstruct.py:system_prompt_stats. Two conv_id
+    aggregates + fingerprint-cardinality rollup."""
+    from .operators import convstruct
+
+    return convstruct.system_prompt_stats(_t(spark, sf_dir))
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -2167,4 +2192,7 @@ SPARK_QUERIES = {
     "tool_bigrams": q_tool_bigrams,
     "conv_outcomes": q_conv_outcomes,
     "ingest_volume_trend": q_ingest_volume_trend,
+    "ttfr_stats": q_ttfr_stats,
+    "turn_position_profile": q_turn_position_profile,
+    "system_prompt_stats": q_system_prompt_stats,
 }

@@ -729,3 +729,60 @@ def test_ingest_volume_trend_semantics(spark):
     assert out["2026-01-01"]["cum_frac"] == round(3 / 7, 4)
     assert out["2026-01-02"]["cum_tokens"] == 7
     assert out["2026-01-02"]["cum_frac"] == 1.0
+
+
+def test_ttfr_stats_semantics(spark):
+    import datetime as dt
+
+    from go_distributed_log_search_spark.operators.telemetry import ttfr_stats
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # c1: user at t0, assistant 10 s later -> ttfr 10
+        ("c1", 0, "user", t0),
+        ("c1", 1, "assistant", t0 + dt.timedelta(seconds=10)),
+        # c2: assistant opens BEFORE any user -> excluded
+        ("c2", 0, "assistant", t0),
+        ("c2", 1, "user", t0 + dt.timedelta(seconds=5)),
+        # c3: no assistant at all -> excluded
+        ("c3", 0, "user", t0),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "ts"])
+    out = ttfr_stats(df).collect()[0]
+    assert out["n_convs"] == 1
+    assert out["avg_s"] == out["p50_s"] == out["max_s"] == 10.0
+
+
+def test_turn_position_profile_semantics(spark):
+    from go_distributed_log_search_spark.operators.chatformat import (
+        turn_position_profile,
+    )
+
+    # 10-turn conversation: turns 0-1 -> band 0, ..., 8-9 -> band 4;
+    # final band carries the heavy turns
+    rows = [("c", i, "w " * (10 if i >= 8 else 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = {r["bucket"]: r for r in turn_position_profile(df).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(out[b]["n_turns"] == 2 for b in out)
+    assert out[4]["avg_tokens"] == 10.0
+    assert out[4]["token_share"] == round(20 / 28, 4)  # 8×1 + 2×10 tokens
+
+
+def test_system_prompt_stats_semantics(spark):
+    from go_distributed_log_search_spark.operators.convstruct import (
+        system_prompt_stats,
+    )
+
+    rows = [
+        ("c1", 0, "system", "You are   helpful."), ("c1", 1, "user", "hi"),
+        ("c2", 0, "system", "you are helpful."),   # same after normalization
+        ("c3", 0, "system", "Different prompt"), ("c3", 1, "user", "x"),
+        ("c3", 2, "assistant", "y"),
+        ("c4", 0, "user", "no system turn"),       # excluded
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = system_prompt_stats(df).collect()
+    assert [r["n_convs"] for r in out] == [2, 1]
+    assert out[0]["avg_turns"] == 1.5  # c1 has 2 turns, c2 has 1
+    assert out[1]["example"] == "Different prompt" and out[1]["avg_turns"] == 3.0
