@@ -664,3 +664,49 @@ def turn_position_profile(turns: DataFrame, n_buckets: int = 5) -> DataFrame:
         .select("bucket", "n_turns", "avg_tokens", "token_share")
         .orderBy("bucket")
     )
+
+
+def response_ratio_stats(turns: DataFrame) -> DataFrame:
+    """Assistant-to-user length ratio over adjacent (user → assistant)
+    pairs — the SFT screen for answers that are degenerately short (or
+    pathologically long) relative to their prompt, complementary to
+    echo_rate (which measures CONTENT overlap, not length).
+
+    ratio = assistant_ws_tokens / max(user_ws_tokens, 1). Output: ONE
+    row — (n_pairs, avg_ratio, p50_ratio, p95_ratio, frac_short) with
+    frac_short = share of pairs whose ratio < 0.5.
+
+    Scale shape: same pruned pairing as echo_rate — system/tool rows
+    dropped before the lead() window, exact next_idx = turn_idx + 1
+    adjacency — but the shuffle carries only two INTS per row (the token
+    counts), then a single global aggregate.
+    """
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    base = turns.filter(F.col("role").isin("user", "assistant")).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        ws_token_count_expr(F.col("text")).alias("n_tok"),
+    )
+    paired = (
+        base.withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_idx", F.lead("turn_idx").over(w))
+        .withColumn("next_tok", F.lead("n_tok").over(w))
+        .filter(
+            (F.col("role") == "user")
+            & (F.col("next_role") == "assistant")
+            & (F.col("next_idx") == F.col("turn_idx") + 1)
+        )
+    )
+    ratio = F.col("next_tok") / F.greatest(F.col("n_tok"), F.lit(1)).cast("double")
+    return paired.select(ratio.alias("r")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("r"), 4).alias("avg_ratio"),
+        F.round(F.percentile(F.col("r"), F.lit(0.5)), 4).alias("p50_ratio"),
+        F.round(F.percentile(F.col("r"), F.lit(0.95)), 4).alias("p95_ratio"),
+        F.round(
+            F.sum((F.col("r") < 0.5).cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("frac_short"),
+    )

@@ -336,3 +336,52 @@ def ttfr_stats(turns: DataFrame) -> DataFrame:
         F.round(F.percentile(F.col("s"), F.lit(0.95)), 4).alias("p95_s"),
         F.round(F.max("s"), 4).alias("max_s"),
     )
+
+
+def psi_drift(parsed: DataFrame, n_bins: int = 10, bin_width: int = 10000) -> DataFrame:
+    """Per-day population-stability index (PSI) of the parsed ``bytes``
+    field against the corpus distribution — the standard numeric-drift
+    alarm (PSI > 0.1 investigate, > 0.25 act) applied to the log
+    pipeline's extracted metrics; the numeric-field companion to
+    kl_drift (vocabulary) and vocab_novelty_trend (new terms).
+
+    bytes is binned into fixed-width bins (floor(bytes / bin_width),
+    capped at n_bins - 1); PSI_day = Σ_bin (p_day − p_corpus) ·
+    ln(p_day / p_corpus) over bins observed on BOTH sides (a bin absent
+    from either side is excluded — documented estimator choice, mirrored
+    in the oracle). Output (day asc): (day, n_lines, psi).
+
+    Scale shape: one scan over rows with a parsed bytes value into a
+    (day, bin) aggregate (≤ |days| × n_bins rows); corpus bin totals and
+    day totals derive from THAT table (no second scan) and join back
+    broadcast.
+    """
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd")
+    b = F.least(
+        F.floor(F.col("bytes") / F.lit(bin_width)), F.lit(n_bins - 1)
+    ).cast("int")
+    db = (
+        parsed.filter(F.col("bytes").isNotNull())
+        .select(day.alias("day"), b.alias("bin"))
+        .groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    day_tot = db.groupBy("day").agg(F.sum("c").alias("n_day"))
+    corpus = db.groupBy("bin").agg(F.sum("c").alias("c_bin"))
+    n_all = day_tot.agg(F.sum("n_day").alias("n_all"))
+    j = (
+        db.join(F.broadcast(day_tot), "day")
+        .join(F.broadcast(corpus), "bin")
+        .crossJoin(F.broadcast(n_all))
+    )
+    p_d = F.col("c") / F.col("n_day").cast("double")
+    p_c = F.col("c_bin") / F.col("n_all").cast("double")
+    return (
+        j.select("day", "n_day", ((p_d - p_c) * F.log(p_d / p_c)).alias("term"))
+        .groupBy("day")
+        .agg(
+            F.max("n_day").alias("n_lines"),
+            F.round(F.sum("term"), 4).alias("psi"),
+        )
+        .orderBy("day")
+    )

@@ -778,3 +778,54 @@ def vocab_novelty_trend(
         )
         .orderBy("day")
     )
+
+
+def code_switch_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation language mixing (code-switching): run the marker
+    lang-id on every TURN and report, per conversation, how many distinct
+    identified languages appear and which dominates.
+
+    Multilingual agent corpora interleave languages mid-conversation;
+    monolingual quality filters silently mis-score those unless flagged
+    first. 'und' (no marker hit) is excluded from the distinct count but
+    a conversation of only-'und' turns still reports dominant = 'und'.
+
+    Output (conv_id asc): (conv_id, n_turns, n_langs, dominant_lang,
+    dominant_share).
+
+    Scale shape: lang-id is a scan-side Catalyst expression; the
+    (conv, lang) aggregate collapses map-side, and the dominant pick is
+    a struct-min over at most |langs|+1 rows per conversation — no
+    window over the corpus.
+    """
+    per = (
+        df.select(F.col(conv_col), lang_id_expr(F.col(text_col)).alias("lang"))
+        .groupBy(conv_col, "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # struct-min picks (highest count, then lexicographically first lang)
+    pick = F.min(F.struct((-F.col("c")).alias("neg"), F.col("lang").alias("l")))
+    return (
+        per.groupBy(conv_col)
+        .agg(
+            F.sum("c").alias("n_turns"),
+            F.sum(F.when(F.col("lang") != "und", 1).otherwise(0)).alias(
+                "n_langs"
+            ),
+            pick.alias("_p"),
+        )
+        .select(
+            conv_col,
+            "n_turns",
+            "n_langs",
+            F.col("_p.l").alias("dominant_lang"),
+            F.round((-F.col("_p.neg")) / F.col("n_turns").cast("double"), 4).alias(
+                "dominant_share"
+            ),
+        )
+        .orderBy(conv_col)
+    )

@@ -3292,3 +3292,95 @@ agg AS (
 SELECT example, CAST(n_convs AS BIGINT) AS n_convs, avg_turns
 FROM agg ORDER BY n_convs DESC, example LIMIT 20
 """
+
+# Assistant/user length-ratio percentiles over adjacent SFT pairs
+# (operators/chatformat.py:response_ratio_stats).
+
+ORACLES["response_ratio_stats"] = """WITH_PRELUDE,
+base AS (
+  SELECT conv_id, turn_idx, role,
+         len(regexp_extract_all(text, '\\S+')) AS n_tok
+  FROM transcripts WHERE role IN ('user', 'assistant')
+),
+paired AS (
+  SELECT conv_id, turn_idx, role, n_tok,
+    LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+    LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_idx,
+    LEAD(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tok
+  FROM base
+),
+ratios AS (
+  SELECT next_tok / CAST(greatest(n_tok, 1) AS DOUBLE) AS r
+  FROM paired
+  WHERE role = 'user' AND next_role = 'assistant' AND next_idx = turn_idx + 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(r), 4) AS avg_ratio,
+       ROUND(quantile_cont(r, 0.5), 4) AS p50_ratio,
+       ROUND(quantile_cont(r, 0.95), 4) AS p95_ratio,
+       ROUND(SUM(CASE WHEN r < 0.5 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS frac_short
+FROM ratios
+"""
+
+# Per-conversation language mixing (operators/textstats.py:
+# code_switch_stats): lang-id per TURN, distinct-language count +
+# dominant language per conversation.
+
+ORACLES["code_switch_stats"] = f"""WITH_PRELUDE,
+ttoks AS (
+  SELECT conv_id,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS tokens
+  FROM transcripts
+),
+hits AS (
+  SELECT conv_id, {_HIT_COLS}
+  FROM ttoks
+),
+pred AS (
+  SELECT conv_id,
+    CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+         WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+         WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+         WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+         WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+         ELSE 'zh' END AS lang
+  FROM hits
+),
+per AS (SELECT conv_id, lang, COUNT(*) AS c FROM pred GROUP BY conv_id, lang),
+ranked AS (
+  SELECT conv_id, lang, c,
+    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY c DESC, lang) AS rn,
+    SUM(c) OVER (PARTITION BY conv_id) AS n_turns,
+    SUM(CASE WHEN lang <> 'und' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY conv_id) AS n_langs
+  FROM per
+)
+SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(n_langs AS BIGINT) AS n_langs, lang AS dominant_lang,
+       ROUND(c / CAST(n_turns AS DOUBLE), 4) AS dominant_share
+FROM ranked WHERE rn = 1 ORDER BY conv_id
+"""
+
+# Per-day PSI of the parsed bytes field
+# (operators/telemetry.py:psi_drift): fixed 10Ki-wide bins, bins absent
+# from either side excluded (mirrored estimator choice).
+
+ORACLES["psi_drift"] = f"""WITH_PRELUDE, {_PARSED},
+db AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         CAST(least(floor(bytes / 10000), 9) AS INT) AS bin,
+         COUNT(*) AS c
+  FROM parsed WHERE bytes IS NOT NULL GROUP BY day, bin
+),
+day_tot AS (SELECT day, SUM(c) AS n_day FROM db GROUP BY day),
+corpus AS (SELECT bin, SUM(c) AS c_bin FROM db GROUP BY bin),
+n AS (SELECT SUM(n_day) AS n_all FROM day_tot)
+SELECT day, CAST(MAX(n_day) AS BIGINT) AS n_lines,
+  ROUND(SUM((c / CAST(n_day AS DOUBLE) - c_bin / CAST(n_all AS DOUBLE))
+            * ln((c / CAST(n_day AS DOUBLE))
+                 / (c_bin / CAST(n_all AS DOUBLE)))), 4) AS psi
+FROM db JOIN day_tot USING (day) JOIN corpus USING (bin) CROSS JOIN n
+GROUP BY day ORDER BY day
+"""

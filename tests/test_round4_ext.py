@@ -786,3 +786,61 @@ def test_system_prompt_stats_semantics(spark):
     assert [r["n_convs"] for r in out] == [2, 1]
     assert out[0]["avg_turns"] == 1.5  # c1 has 2 turns, c2 has 1
     assert out[1]["example"] == "Different prompt" and out[1]["avg_turns"] == 3.0
+
+
+def test_response_ratio_stats_semantics(spark):
+    from go_distributed_log_search_spark.operators.chatformat import (
+        response_ratio_stats,
+    )
+
+    rows = [
+        ("c1", 0, "user", "a b c d"),        # 4 tokens
+        ("c1", 1, "assistant", "x"),          # ratio 0.25 -> short
+        ("c1", 2, "user", "q r"),             # 2 tokens
+        ("c1", 3, "assistant", "w x y z"),    # ratio 2.0
+        ("c2", 0, "user", "solo"),            # no adjacent assistant
+        ("c2", 1, "tool", "t"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = response_ratio_stats(df).collect()[0]
+    assert out["n_pairs"] == 2
+    assert out["avg_ratio"] == round((0.25 + 2.0) / 2, 4)
+    assert out["frac_short"] == 0.5
+
+
+def test_code_switch_stats_semantics(spark):
+    from go_distributed_log_search_spark.operators.textstats import code_switch_stats
+
+    rows = [
+        # c1: an English turn, a German turn, a markerless turn
+        ("c1", "the cat and the dog of note"),
+        ("c1", "der hund und die katze"),
+        ("c1", "xyzzy 123"),
+        # c2: monolingual English
+        ("c2", "the one and only of all"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "text"])
+    out = {r["conv_id"]: r for r in code_switch_stats(df).collect()}
+    assert out["c1"]["n_langs"] == 2
+    assert out["c1"]["dominant_lang"] in ("de", "en")  # 1-1 tie -> lexicographic
+    assert out["c1"]["dominant_lang"] == "de"
+    assert out["c2"]["n_langs"] == 1 and out["c2"]["dominant_lang"] == "en"
+    assert out["c2"]["dominant_share"] == 1.0
+
+
+def test_psi_drift_semantics(spark):
+    import datetime as dt
+
+    from go_distributed_log_search_spark.operators.telemetry import psi_drift
+
+    d1, d2 = dt.datetime(2026, 1, 1), dt.datetime(2026, 1, 2)
+    # day 1: all bytes in bin 0; day 2: all in bin 9 -> both days drift
+    # from the pooled 50/50 corpus by the same symmetric amount
+    rows = [(d1, 100) for _ in range(10)] + [(d2, 99999) for _ in range(10)]
+    df = spark.createDataFrame(rows, ["ts", "bytes"])
+    out = {r["day"]: r for r in psi_drift(df).collect()}
+    import math
+    expected = round((1.0 - 0.5) * math.log(1.0 / 0.5), 4)
+    assert out["2026-01-01"]["psi"] == expected
+    assert out["2026-01-02"]["psi"] == expected
+    assert out["2026-01-01"]["n_lines"] == 10
