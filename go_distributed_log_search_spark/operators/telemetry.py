@@ -385,3 +385,79 @@ def psi_drift(parsed: DataFrame, n_bins: int = 10, bin_width: int = 10000) -> Da
         )
         .orderBy("day")
     )
+
+
+def conv_duration_hist(turns: DataFrame) -> DataFrame:
+    """Log2-bucketed WALL-CLOCK conversation-duration histogram — the
+    time-axis companion to conv_depth_hist (which buckets by turn
+    count): how many conversations run under a minute, 1-2 min, 2-4 min,
+    ... and how many turns each duration band holds.
+
+    bucket = floor(log2(duration in whole minutes)), with sub-minute
+    conversations (including single-turn ones, duration 0) in bucket -1.
+    Output (bucket asc): (bucket, dur_min_minutes, n_convs, avg_turns).
+
+    Scale shape: min/max/count per conversation in ONE partial+final
+    aggregate, then a ~40-bucket rollup.
+    """
+    t = F.col("ts").cast("double")
+    per = turns.groupBy("conv_id").agg(
+        ((F.max(t) - F.min(t)) / 60.0).alias("mins"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    bucket = (
+        F.when(F.col("mins") < 1, F.lit(-1))
+        .otherwise(F.floor(F.log2(F.col("mins"))))
+        .cast("int")
+    )
+    return (
+        per.select(bucket.alias("bucket"), "n_turns")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.round(F.avg("n_turns"), 2).alias("avg_turns"),
+        )
+        .withColumn(
+            "dur_min_minutes",
+            F.when(F.col("bucket") < 0, F.lit(0)).otherwise(
+                F.pow(F.lit(2.0), F.col("bucket"))
+            ).cast("long"),
+        )
+        .select("bucket", "dur_min_minutes", "n_convs", "avg_turns")
+        .orderBy("bucket")
+    )
+
+
+def active_convs_hourly(turns: DataFrame) -> DataFrame:
+    """Hourly concurrency curve: for each wall-clock hour, how many
+    conversations were ACTIVE (their [first turn, last turn] interval
+    covers the hour) and how many started then — the capacity metric
+    behind serving-fleet sizing, not derivable from per-turn windowed
+    counts (hourly_windows) because a conversation is active through
+    hours in which it emits no turn.
+
+    Output (hour asc): (hour 'yyyy-MM-dd HH:00', n_active, n_starting).
+
+    Scale shape: one per-conversation min/max aggregate, then each
+    conversation explodes into its covered hours — fan-out bounded by
+    conversation DURATION in hours, not turn count — into an
+    |hours|-cardinality aggregate. The interval expansion is the
+    standard Spark substitute for an interval-overlap range join against
+    an hours table (which would be a cartesian under the hood).
+    """
+    per = turns.groupBy("conv_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = per.select(
+        "h0",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h"),
+    )
+    return (
+        hours.groupBy(F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum((F.col("h") == F.col("h0")).cast("long")).alias("n_starting"),
+        )
+        .orderBy("hour")
+    )

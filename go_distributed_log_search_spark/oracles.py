@@ -3384,3 +3384,46 @@ SELECT day, CAST(MAX(n_day) AS BIGINT) AS n_lines,
 FROM db JOIN day_tot USING (day) JOIN corpus USING (bin) CROSS JOIN n
 GROUP BY day ORDER BY day
 """
+
+# Wall-clock conversation-duration histogram
+# (operators/telemetry.py:conv_duration_hist).
+
+ORACLES["conv_duration_hist"] = """WITH_PRELUDE,
+per AS (
+  SELECT conv_id,
+    (epoch(MAX(CAST(ts AS TIMESTAMP)))
+     - epoch(MIN(CAST(ts AS TIMESTAMP)))) / 60.0 AS mins,
+    COUNT(*) AS n_turns
+  FROM transcripts GROUP BY conv_id
+),
+b AS (
+  SELECT CASE WHEN mins < 1 THEN -1
+              ELSE CAST(floor(log2(mins)) AS INT) END AS bucket, n_turns
+  FROM per
+)
+SELECT bucket,
+       CAST(CASE WHEN bucket < 0 THEN 0 ELSE pow(2.0, bucket) END AS BIGINT)
+         AS dur_min_minutes,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       ROUND(AVG(n_turns), 2) AS avg_turns
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+# Hourly active-conversation concurrency
+# (operators/telemetry.py:active_convs_hourly).
+
+ORACLES["active_convs_hourly"] = """WITH_PRELUDE,
+per AS (
+  SELECT conv_id,
+    date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS h0,
+    date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS h1
+  FROM transcripts GROUP BY conv_id
+),
+hours AS (
+  SELECT h0, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM per
+)
+SELECT strftime(h, '%Y-%m-%d %H:00') AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN h = h0 THEN 1 ELSE 0 END) AS BIGINT) AS n_starting
+FROM hours GROUP BY hour ORDER BY hour
+"""

@@ -2051,6 +2051,24 @@ def q_psi_drift(spark, sf_dir):
     )
 
 
+def q_conv_duration_hist(spark, sf_dir):
+    """Wall-clock conversation-duration histogram (log2 minute buckets)
+    — operators/telemetry.py:conv_duration_hist. One conv aggregate +
+    bucket rollup."""
+    from .operators import telemetry
+
+    return telemetry.conv_duration_hist(_t(spark, sf_dir))
+
+
+def q_active_convs_hourly(spark, sf_dir):
+    """Hourly active-conversation concurrency via interval expansion —
+    operators/telemetry.py:active_convs_hourly. Fan-out bounded by
+    conversation duration in hours."""
+    from .operators import telemetry
+
+    return telemetry.active_convs_hourly(_t(spark, sf_dir))
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -2223,4 +2241,6 @@ SPARK_QUERIES = {
     "response_ratio_stats": q_response_ratio_stats,
     "code_switch_stats": q_code_switch_stats,
     "psi_drift": q_psi_drift,
+    "conv_duration_hist": q_conv_duration_hist,
+    "active_convs_hourly": q_active_convs_hourly,
 }

@@ -844,3 +844,46 @@ def test_psi_drift_semantics(spark):
     assert out["2026-01-01"]["psi"] == expected
     assert out["2026-01-02"]["psi"] == expected
     assert out["2026-01-01"]["n_lines"] == 10
+
+
+def test_conv_duration_hist_semantics(spark):
+    import datetime as dt
+
+    from go_distributed_log_search_spark.operators.telemetry import (
+        conv_duration_hist,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("fast", 0, t0), ("fast", 1, t0 + dt.timedelta(seconds=30)),  # <1 min
+        ("slow", 0, t0), ("slow", 1, t0 + dt.timedelta(minutes=5)),   # 5 min
+        ("single", 0, t0),                                            # 0 s
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts"])
+    out = {r["bucket"]: r for r in conv_duration_hist(df).collect()}
+    assert out[-1]["n_convs"] == 2 and out[-1]["dur_min_minutes"] == 0
+    assert out[2]["n_convs"] == 1  # 5 min -> floor(log2(5)) = 2 -> band 4-8 min
+    assert out[2]["dur_min_minutes"] == 4
+
+
+def test_active_convs_hourly_semantics(spark):
+    import datetime as dt
+
+    from go_distributed_log_search_spark.operators.telemetry import (
+        active_convs_hourly,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 10, 15)
+    rows = [
+        # c1 active 10:xx through 12:xx with NO turn in hour 11 — the
+        # interval semantics hourly_windows can't see
+        ("c1", 0, t0), ("c1", 1, t0 + dt.timedelta(hours=2)),
+        ("c2", 0, t0 + dt.timedelta(minutes=10)),   # only hour 10
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts"])
+    out = {r["hour"]: r for r in active_convs_hourly(df).collect()}
+    assert out["2026-01-01 10:00"]["n_active"] == 2
+    assert out["2026-01-01 10:00"]["n_starting"] == 2
+    assert out["2026-01-01 11:00"]["n_active"] == 1  # gap hour still active
+    assert out["2026-01-01 11:00"]["n_starting"] == 0
+    assert out["2026-01-01 12:00"]["n_active"] == 1
