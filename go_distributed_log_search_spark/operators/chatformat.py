@@ -484,6 +484,33 @@ def contrastive_pairs(
     )
 
 
+def _adjacent_ua_pairs(turns: DataFrame, payload) -> DataFrame:
+    """Adjacent (user → assistant) pairs carrying a per-turn payload
+    expression: the ONE definition of "SFT pair adjacency" shared by
+    echo_rate and response_ratio_stats.
+
+    System/tool rows are pruned BEFORE the lead() window (their payloads
+    never ride the exchange); adjacency stays exact because the lead row
+    must sit at turn_idx + 1 — a pair only forms when the assistant turn
+    directly follows the user turn with nothing between. Returns rows
+    (conv_id, turn_idx, p, next_p) where p is the user turn's payload
+    and next_p the answering assistant turn's.
+    """
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        turns.filter(F.col("role").isin("user", "assistant"))
+        .select("conv_id", "turn_idx", "role", payload.alias("p"))
+        .withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_idx", F.lead("turn_idx").over(w))
+        .withColumn("next_p", F.lead("p").over(w))
+        .filter(
+            (F.col("role") == "user")
+            & (F.col("next_role") == "assistant")
+            & (F.col("next_idx") == F.col("turn_idx") + 1)
+        )
+    )
+
+
 def echo_rate(turns: DataFrame, min_user_tokens: int = 1) -> DataFrame:
     """Per-conversation prompt-echo report: how much of each user turn's
     vocabulary the directly-following assistant turn repeats.
@@ -509,22 +536,11 @@ def echo_rate(turns: DataFrame, min_user_tokens: int = 1) -> DataFrame:
     the reference's unit is a single log line (main.go:1) with no
     adjacent-turn semantics.
     """
-    w = W.partitionBy("conv_id").orderBy("turn_idx")
     toks = F.array_distinct(tokenize(F.col("text"), "default"))
-    paired = (
-        turns.filter(F.col("role").isin("user", "assistant"))
-        .select("conv_id", "turn_idx", "role", toks.alias("toks"))
-        .withColumn("next_role", F.lead("role").over(w))
-        .withColumn("next_idx", F.lead("turn_idx").over(w))
-        .withColumn("next_toks", F.lead("toks").over(w))
-        .filter(
-            (F.col("role") == "user")
-            & (F.col("next_role") == "assistant")
-            & (F.col("next_idx") == F.col("turn_idx") + 1)
-            & (F.size("toks") >= min_user_tokens)
-        )
+    paired = _adjacent_ua_pairs(turns, toks).filter(
+        F.size("p") >= min_user_tokens
     )
-    echo = F.size(F.array_intersect("toks", "next_toks")) / F.size("toks").cast(
+    echo = F.size(F.array_intersect("p", "next_p")) / F.size("p").cast(
         "double"
     )
     return (
@@ -676,29 +692,13 @@ def response_ratio_stats(turns: DataFrame) -> DataFrame:
     row — (n_pairs, avg_ratio, p50_ratio, p95_ratio, frac_short) with
     frac_short = share of pairs whose ratio < 0.5.
 
-    Scale shape: same pruned pairing as echo_rate — system/tool rows
-    dropped before the lead() window, exact next_idx = turn_idx + 1
-    adjacency — but the shuffle carries only two INTS per row (the token
-    counts), then a single global aggregate.
+    Scale shape: the shared _adjacent_ua_pairs pairing (system/tool rows
+    pruned before the lead() window, exact next_idx = turn_idx + 1
+    adjacency), with the shuffle carrying only two INTS per row (the
+    token counts), then a single global aggregate.
     """
-    w = W.partitionBy("conv_id").orderBy("turn_idx")
-    base = turns.filter(F.col("role").isin("user", "assistant")).select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        ws_token_count_expr(F.col("text")).alias("n_tok"),
-    )
-    paired = (
-        base.withColumn("next_role", F.lead("role").over(w))
-        .withColumn("next_idx", F.lead("turn_idx").over(w))
-        .withColumn("next_tok", F.lead("n_tok").over(w))
-        .filter(
-            (F.col("role") == "user")
-            & (F.col("next_role") == "assistant")
-            & (F.col("next_idx") == F.col("turn_idx") + 1)
-        )
-    )
-    ratio = F.col("next_tok") / F.greatest(F.col("n_tok"), F.lit(1)).cast("double")
+    paired = _adjacent_ua_pairs(turns, ws_token_count_expr(F.col("text")))
+    ratio = F.col("next_p") / F.greatest(F.col("p"), F.lit(1)).cast("double")
     return paired.select(ratio.alias("r")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg("r"), 4).alias("avg_ratio"),

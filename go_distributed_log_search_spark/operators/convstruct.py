@@ -152,7 +152,7 @@ def conv_depth_hist(turns: DataFrame) -> DataFrame:
     a second aggregate over at most ~40 buckets — the second exchange
     carries one row per conversation, no text.
     """
-    from ..operators.textstats import ws_token_count_expr
+    from .textstats import ws_token_count_expr
 
     per_conv = turns.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),

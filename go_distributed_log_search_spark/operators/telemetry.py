@@ -193,6 +193,17 @@ def tool_error_rate(parsed: DataFrame, k: int = 2) -> DataFrame:
     )
 
 
+def _adjacent_ts_deltas(turns: DataFrame) -> DataFrame:
+    """(conv_id, delta) per turn: wall-clock seconds since the previous
+    turn of the conversation in turn_idx order (NULL on each
+    conversation's first turn) — the ONE adjacent-timestamp pairing
+    shared by conv_gap_sessions and ooo_turns. A single lag() window
+    over (conv_id, turn_idx) carrying only (conv_id, turn_idx, ts)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = F.col("ts").cast("double")
+    return turns.select("conv_id", (t - F.lag(t).over(w)).alias("delta"))
+
+
 def conv_gap_sessions(turns: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Idle-gap session splits WITHIN conversations: a new session starts
     whenever the wall-clock gap from the previous turn exceeds ``gap_s``
@@ -204,25 +215,21 @@ def conv_gap_sessions(turns: DataFrame, gap_s: int = 1800) -> DataFrame:
     observed gap. (The events-table analog keyed by user is `sessionize`;
     this is the transcript-axis variant keyed by conversation.)
 
-    Scale shape: one lag() window over (conv_id, turn_idx) fused with the
-    per-conv aggregate on the same key — a single exchange carrying
+    Scale shape: the shared _adjacent_ts_deltas lag() window fused with
+    the per-conv aggregate on the same key — a single exchange carrying
     (conv_id, turn_idx, ts) only.
     """
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    t = F.col("ts").cast("double")
-    gaps = turns.select(
-        "conv_id", (t - F.lag(t).over(w)).alias("gap")
-    )
     return (
-        gaps.groupBy("conv_id")
+        _adjacent_ts_deltas(turns)
+        .groupBy("conv_id")
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
             # when(...).otherwise(0), not a bare cast: a single-turn
-            # conversation's only gap is NULL and must count as 0 splits
-            (F.sum(F.when(F.col("gap") > gap_s, 1).otherwise(0)) + 1).alias(
+            # conversation's only delta is NULL and must count as 0 splits
+            (F.sum(F.when(F.col("delta") > gap_s, 1).otherwise(0)) + 1).alias(
                 "n_sessions"
             ),
-            F.round(F.coalesce(F.max("gap"), F.lit(0.0)), 1).alias("max_gap_s"),
+            F.round(F.coalesce(F.max("delta"), F.lit(0.0)), 1).alias("max_gap_s"),
         )
         .orderBy("conv_id")
     )
@@ -237,16 +244,11 @@ def ooo_turns(turns: DataFrame) -> DataFrame:
 
     Output per conversation with at least one violation: pair count,
     backward-pair count and rate, and the largest backward jump in
-    seconds. One lag() window fused with the conv aggregate (same key,
-    single exchange); the global report stays small because ordered
-    conversations are filtered out.
+    seconds. The shared _adjacent_ts_deltas lag() window fused with the
+    conv aggregate (same key, single exchange); the global report stays
+    small because ordered conversations are filtered out.
     """
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    t = F.col("ts").cast("double")
-    pairs = (
-        turns.select("conv_id", (t - F.lag(t).over(w)).alias("delta"))
-        .filter(F.col("delta").isNotNull())
-    )
+    pairs = _adjacent_ts_deltas(turns).filter(F.col("delta").isNotNull())
     return (
         pairs.groupBy("conv_id")
         .agg(
