@@ -695,3 +695,45 @@ def embedding_dim_stats(
         )
         .orderBy("label")
     )
+
+
+def embedding_norm_outliers(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Embedding-hygiene screen: the k vectors whose L2 norm sits
+    furthest (in z-score) from the corpus mean norm — truncated rows,
+    zero vectors, and double-encoded texts all surface as norm outliers
+    long before any downstream ANN metric notices them. Complementary to
+    embedding_dim_stats (per-dimension moments): this ranks ROWS.
+
+    Output (rank asc): (rank, vec_id, norm, z) with norm/z to 4dp and z
+    signed (negative = shorter than the mean).
+
+    Scale shape: norms are a scan-side double-precision fold (vectors
+    cast float→double exactly, so both engines fold identical values);
+    mean/std come from ONE global aggregate broadcast back; the top-k by
+    |z| folds to TakeOrderedAndProject — only k rows leave each
+    partition.
+    """
+    v = F.col("embedding").cast("array<double>")
+    norms = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("norm"),
+    )
+    stats = norms.agg(
+        F.avg("norm").alias("mu"), F.stddev_pop("norm").alias("sigma")
+    )
+    z = (F.col("norm") - F.col("mu")) / F.col("sigma")
+    ranked = (
+        norms.crossJoin(F.broadcast(stats))
+        .select("vec_id", "norm", z.alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), F.col("vec_id"))
+        .limit(k)
+    )
+    w = W.orderBy(F.abs(F.col("z")).desc(), F.col("vec_id"))
+    return ranked.select(
+        F.row_number().over(w).alias("rank"),
+        "vec_id",
+        F.round("norm", 4).alias("norm"),
+        F.round("z", 4).alias("z"),
+    ).orderBy("rank")

@@ -463,3 +463,40 @@ def active_convs_hourly(turns: DataFrame) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+def tool_latency_stats(turns: DataFrame) -> DataFrame:
+    """Per-TOOL execution latency: seconds from the preceding turn (the
+    call site) to each tool turn (the result), summarized per tool name
+    — the per-integration slice that latency_stats' role-transition
+    board (prev_role → role) can't give because it pools every tool
+    under one 'tool' row.
+
+    Output (tool asc): (tool, n_calls, avg_s, p95_s, max_s), latencies
+    clamped at >= 0 like latency_stats.
+
+    Scale shape: one lag() window over (conv_id, turn_idx) carrying only
+    (conv_id, turn_idx, role-as-tool, ts) — the predecessor may be any
+    role, so the window runs pre-filter, but nothing wider than those
+    four small columns rides the exchange — then a |tools|-cardinality
+    aggregate (exact percentile shuffles group values; swap
+    approx_percentile at 10^12 turns, same contract as slo_stats).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = F.col("ts").cast("double")
+    base = turns.select(
+        "conv_id", "turn_idx", "tool", t.alias("t")
+    ).withColumn("prev_t", F.lag("t").over(w))
+    lat = F.greatest(F.col("t") - F.col("prev_t"), F.lit(0.0))
+    return (
+        base.filter(F.col("tool").isNotNull() & F.col("prev_t").isNotNull())
+        .select("tool", lat.alias("lat_s"))
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.round(F.avg("lat_s"), 4).alias("avg_s"),
+            F.round(F.percentile(F.col("lat_s"), F.lit(0.95)), 4).alias("p95_s"),
+            F.round(F.max("lat_s"), 4).alias("max_s"),
+        )
+        .orderBy("tool")
+    )

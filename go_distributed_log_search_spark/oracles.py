@@ -3427,3 +3427,47 @@ SELECT strftime(h, '%Y-%m-%d %H:00') AS hour,
        CAST(SUM(CASE WHEN h = h0 THEN 1 ELSE 0 END) AS BIGINT) AS n_starting
 FROM hours GROUP BY hour ORDER BY hour
 """
+
+# Per-tool execution latency (operators/telemetry.py:tool_latency_stats).
+
+ORACLES["tool_latency_stats"] = """WITH_PRELUDE,
+base AS (
+  SELECT conv_id, turn_idx, tool, epoch(CAST(ts AS TIMESTAMP)) AS t,
+    LAG(epoch(CAST(ts AS TIMESTAMP)))
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_t
+  FROM transcripts
+),
+lats AS (
+  SELECT tool, GREATEST(t - prev_t, 0.0) AS lat_s
+  FROM base WHERE tool IS NOT NULL AND prev_t IS NOT NULL
+)
+SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_calls,
+       ROUND(AVG(lat_s), 4) AS avg_s,
+       ROUND(quantile_cont(lat_s, 0.95), 4) AS p95_s,
+       ROUND(MAX(lat_s), 4) AS max_s
+FROM lats GROUP BY tool ORDER BY tool
+"""
+
+# Top-k embedding norm outliers
+# (operators/similarity.py:embedding_norm_outliers).
+
+ORACLES["embedding_norm_outliers"] = """
+WITH norms AS (
+  SELECT vec_id,
+    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> x * x))) AS norm
+  FROM embeddings
+),
+stats AS (SELECT AVG(norm) AS mu, stddev_pop(norm) AS sigma FROM norms),
+z AS (
+  SELECT vec_id, norm, (norm - mu) / sigma AS z FROM norms CROSS JOIN stats
+),
+ranked AS (
+  SELECT vec_id, norm, z,
+    ROW_NUMBER() OVER (ORDER BY abs(z) DESC, vec_id) AS rank
+  FROM z
+)
+SELECT CAST(rank AS INT) AS rank, vec_id,
+       ROUND(norm, 4) AS norm, ROUND(z, 4) AS z
+FROM ranked WHERE rank <= 5 ORDER BY rank
+"""

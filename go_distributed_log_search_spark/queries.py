@@ -2069,6 +2069,23 @@ def q_active_convs_hourly(spark, sf_dir):
     return telemetry.active_convs_hourly(_t(spark, sf_dir))
 
 
+def q_tool_latency_stats(spark, sf_dir):
+    """Per-tool execution-latency percentiles (call-site turn → tool
+    turn) — operators/telemetry.py:tool_latency_stats. One narrow lag()
+    window + |tools|-cardinality aggregate."""
+    from .operators import telemetry
+
+    return telemetry.tool_latency_stats(_t(spark, sf_dir))
+
+
+def q_embedding_norm_outliers(spark, sf_dir):
+    """Top-k embedding rows by |z| of their L2 norm —
+    operators/similarity.py:embedding_norm_outliers. Scan-side double
+    fold, one-row stats broadcast, TakeOrderedAndProject."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_norm_outliers(emb)
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -2243,4 +2260,6 @@ SPARK_QUERIES = {
     "psi_drift": q_psi_drift,
     "conv_duration_hist": q_conv_duration_hist,
     "active_convs_hourly": q_active_convs_hourly,
+    "tool_latency_stats": q_tool_latency_stats,
+    "embedding_norm_outliers": q_embedding_norm_outliers,
 }

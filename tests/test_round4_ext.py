@@ -887,3 +887,41 @@ def test_active_convs_hourly_semantics(spark):
     assert out["2026-01-01 11:00"]["n_active"] == 1  # gap hour still active
     assert out["2026-01-01 11:00"]["n_starting"] == 0
     assert out["2026-01-01 12:00"]["n_active"] == 1
+
+
+def test_tool_latency_stats_semantics(spark):
+    import datetime as dt
+
+    from go_distributed_log_search_spark.operators.telemetry import (
+        tool_latency_stats,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, None, t0),
+        ("c1", 1, "bash", t0 + dt.timedelta(seconds=3)),   # latency 3
+        ("c1", 2, None, t0 + dt.timedelta(seconds=4)),
+        ("c1", 3, "bash", t0 + dt.timedelta(seconds=9)),   # latency 5
+        ("c2", 0, "search", t0),                           # no predecessor
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "tool", "ts"])
+    out = {r["tool"]: r for r in tool_latency_stats(df).collect()}
+    assert set(out) == {"bash"}  # search's first-turn call is excluded
+    assert out["bash"]["n_calls"] == 2
+    assert out["bash"]["avg_s"] == 4.0 and out["bash"]["max_s"] == 5.0
+
+
+def test_embedding_norm_outliers_semantics(spark):
+    from go_distributed_log_search_spark.operators.similarity import (
+        embedding_norm_outliers,
+    )
+
+    rows = [(i, [1.0, 0.0]) for i in range(8)] + [
+        (100, [10.0, 0.0]),   # giant norm -> rank 1
+        (101, [0.0, 0.0]),    # zero vector -> strong negative z
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_norm_outliers(df, k=2).collect()
+    assert [r["vec_id"] for r in out] == [100, 101]
+    assert out[0]["rank"] == 1 and out[0]["norm"] == 10.0
+    assert out[0]["z"] > 0 > out[1]["z"]
