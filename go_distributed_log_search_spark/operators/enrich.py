@@ -70,3 +70,42 @@ def enrich_turns(
     return df.join(F.broadcast(roles), on="role", how="left").join(
         F.broadcast(tools), on="tool", how="left"
     )
+
+
+def enrich_coverage(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Dimension-join coverage audit for the enrich stage: per role, how
+    many turns matched the role dimension, how many tool turns matched
+    the tool dimension, and the tool match rate — the schema-drift alarm
+    (a new tool name or role appearing upstream shows up here as a
+    falling match rate before it silently NULLs downstream attributes).
+
+    Output (role asc): (role, n_turns, n_role_matched, n_tool_turns,
+    n_tool_matched, tool_match_rate); tool_match_rate is NULL for roles
+    with no tool turns.
+
+    Scale shape: the same two broadcast left joins as enrich_turns (the
+    audit reuses the production operator, auditing exactly what runs),
+    then one |roles|-cardinality aggregate.
+    """
+    e = enrich_turns(df, spark)
+    tool_turns = F.col("tool").isNotNull()
+    tool_matched = tool_turns & F.col("tool_family").isNotNull()
+    return (
+        e.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("role_kind").isNotNull().cast("long")).alias(
+                "n_role_matched"
+            ),
+            F.sum(tool_turns.cast("long")).alias("n_tool_turns"),
+            F.sum(tool_matched.cast("long")).alias("n_tool_matched"),
+            F.round(
+                F.sum(tool_matched.cast("int"))
+                / F.nullif(F.sum(tool_turns.cast("int")), F.lit(0)).cast(
+                    "double"
+                ),
+                4,
+            ).alias("tool_match_rate"),
+        )
+        .orderBy("role")
+    )

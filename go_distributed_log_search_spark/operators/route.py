@@ -85,3 +85,43 @@ def route_counts(df: DataFrame) -> DataFrame:
             F.countDistinct("conv_id").alias("n_convs"),
         )
     )
+
+
+def route_overlap(parsed: DataFrame) -> DataFrame:
+    """Sink fan-out audit: how many rows land in each COMBINATION of
+    sinks — including the rows no sink claims ('(none)', silently
+    dropped by the fan-out) and multi-sink rows (written 2-3 times,
+    inflating downstream storage). The router's predicates are taken
+    from sink_predicates(), so this audit can never drift from the
+    routing it audits.
+
+    Output (combo asc): (combo, n_sinks, n_turns, share).
+
+    Scale shape: the combo label is a concat_ws over the same codegen'd
+    CASE predicates the router uses (concat_ws skips NULLs — no array,
+    no HOF, per the fan-out lesson in routed()'s docstring), collapsing
+    straight into a ≤ 2^|sinks|-row aggregate; the share denominator is
+    a window over that bounded table.
+    """
+    from pyspark.sql import Window
+
+    preds = sink_predicates()
+    combo = F.concat_ws("+", *[F.when(preds[s], F.lit(s)) for s in SINKS])
+    # when/otherwise, not a bare cast: a NULL predicate (e.g. level IS
+    # NULL vs = 'ERROR') must count 0, not poison the sum to NULL
+    n_sinks = sum(
+        (F.when(preds[s], 1).otherwise(0) for s in SINKS), F.lit(0)
+    )
+    agg = (
+        parsed.select(
+            F.when(combo == "", "(none)").otherwise(combo).alias("combo"),
+            n_sinks.alias("n_sinks"),
+        )
+        .groupBy("combo", "n_sinks")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    total = F.sum("n_turns").over(Window.partitionBy())
+    return (
+        agg.withColumn("share", F.round(F.col("n_turns") / total.cast("double"), 4))
+        .orderBy("combo")
+    )

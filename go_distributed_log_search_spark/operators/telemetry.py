@@ -500,3 +500,43 @@ def tool_latency_stats(turns: DataFrame) -> DataFrame:
         )
         .orderBy("tool")
     )
+
+
+def error_position_profile(parsed: DataFrame, n_buckets: int = 5) -> DataFrame:
+    """Error incidence by RELATIVE conversation position: do errors
+    cluster early (setup failures) or late (long-context degradation)?
+    The error-axis companion to turn_position_profile's token-mass
+    curve, and the evidence behind truncation-policy choices (dropping
+    late turns discards disproportionally many errors if the curve
+    rises).
+
+    Output (bucket asc): (bucket, n_turns, n_errors, err_rate).
+
+    Scale shape: one unordered count() window over the conv_id partition
+    for the position denominator, then an n_buckets-key aggregate; only
+    (conv_id, turn_idx, is_err) rides the exchange.
+    """
+    w = Window.partitionBy("conv_id")
+    base = parsed.select(
+        "conv_id",
+        "turn_idx",
+        # when/otherwise, not a bare cast: level IS NULL must count 0,
+        # not drop out of (or NULL-poison) the bucket sums
+        F.when(F.col("level") == "ERROR", 1).otherwise(0).alias("is_err"),
+    ).withColumn("n_turns", F.count(F.lit(1)).over(w))
+    bucket = F.least(
+        F.floor(F.lit(n_buckets) * F.col("turn_idx") / F.col("n_turns")),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    return (
+        base.select(bucket.alias("bucket"), "is_err")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("is_err").cast("long").alias("n_errors"),
+            F.round(
+                F.sum("is_err") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("err_rate"),
+        )
+        .orderBy("bucket")
+    )

@@ -3471,3 +3471,70 @@ SELECT CAST(rank AS INT) AS rank, vec_id,
        ROUND(norm, 4) AS norm, ROUND(z, 4) AS z
 FROM ranked WHERE rank <= 5 ORDER BY rank
 """
+
+# Sink fan-out combination audit (operators/route.py:route_overlap).
+
+ORACLES["route_overlap"] = f"""WITH_PRELUDE, {_PARSED},
+tagged AS (
+  SELECT
+    concat_ws('+',
+      CASE WHEN level = 'ERROR' THEN 'errors' END,
+      CASE WHEN tool IS NOT NULL OR tool_call IS NOT NULL
+           THEN 'tool_calls' END,
+      CASE WHEN role = 'assistant' THEN 'assistant_turns' END) AS combo0,
+    (CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END
+     + CASE WHEN tool IS NOT NULL OR tool_call IS NOT NULL
+            THEN 1 ELSE 0 END
+     + CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_sinks
+  FROM parsed
+),
+agg AS (
+  SELECT CASE WHEN combo0 = '' THEN '(none)' ELSE combo0 END AS combo,
+         n_sinks, COUNT(*) AS n_turns
+  FROM tagged GROUP BY combo, n_sinks
+)
+SELECT combo, CAST(n_sinks AS INT) AS n_sinks,
+       CAST(n_turns AS BIGINT) AS n_turns,
+       ROUND(n_turns / CAST(SUM(n_turns) OVER () AS DOUBLE), 4) AS share
+FROM agg ORDER BY combo
+"""
+
+# Dimension-join coverage audit (operators/enrich.py:enrich_coverage).
+
+ORACLES["enrich_coverage"] = """WITH_PRELUDE,
+joined AS (
+  SELECT t.role, t.tool, r.role_kind, tl.tool_family
+  FROM transcripts t
+  LEFT JOIN dim_roles r ON t.role = r.role
+  LEFT JOIN dim_tools tl ON t.tool = tl.tool
+)
+SELECT role, CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(CASE WHEN role_kind IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_role_matched,
+  CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_tool_turns,
+  CAST(SUM(CASE WHEN tool IS NOT NULL AND tool_family IS NOT NULL
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_matched,
+  ROUND(SUM(CASE WHEN tool IS NOT NULL AND tool_family IS NOT NULL
+            THEN 1 ELSE 0 END)
+        / CAST(NULLIF(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END), 0)
+               AS DOUBLE), 4) AS tool_match_rate
+FROM joined GROUP BY role ORDER BY role
+"""
+
+# Error incidence by relative conversation position
+# (operators/telemetry.py:error_position_profile).
+
+ORACLES["error_position_profile"] = f"""WITH_PRELUDE, {_PARSED},
+base AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END AS is_err,
+    COUNT(*) OVER (PARTITION BY conv_id) AS n_turns
+  FROM parsed
+)
+SELECT CAST(least(floor(5 * turn_idx / n_turns), 4) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(is_err) AS BIGINT) AS n_errors,
+       ROUND(SUM(is_err) / CAST(COUNT(*) AS DOUBLE), 4) AS err_rate
+FROM base GROUP BY bucket ORDER BY bucket
+"""

@@ -2086,6 +2086,35 @@ def q_embedding_norm_outliers(spark, sf_dir):
     return similarity.embedding_norm_outliers(emb)
 
 
+def q_route_overlap(spark, sf_dir):
+    """Sink fan-out combination audit (unrouted + multi-sink rows) —
+    operators/route.py:route_overlap. Predicates shared with the router;
+    ≤2^|sinks|-row aggregate."""
+    return route.route_overlap(
+        parse.parse_turns(_t(spark, sf_dir), dynamic=False)
+    )
+
+
+def q_enrich_coverage(spark, sf_dir):
+    """Dimension-join coverage audit per role (schema-drift alarm) —
+    operators/enrich.py:enrich_coverage. Reuses enrich_turns' broadcast
+    joins; |roles|-cardinality aggregate."""
+    from .operators import enrich
+
+    return enrich.enrich_coverage(_t(spark, sf_dir), spark)
+
+
+def q_error_position_profile(spark, sf_dir):
+    """Error incidence by relative conversation position —
+    operators/telemetry.py:error_position_profile. Unordered conv
+    window + 5-key aggregate."""
+    from .operators import telemetry
+
+    return telemetry.error_position_profile(
+        parse.parse_turns(_t(spark, sf_dir), dynamic=False)
+    )
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -2262,4 +2291,7 @@ SPARK_QUERIES = {
     "active_convs_hourly": q_active_convs_hourly,
     "tool_latency_stats": q_tool_latency_stats,
     "embedding_norm_outliers": q_embedding_norm_outliers,
+    "route_overlap": q_route_overlap,
+    "enrich_coverage": q_enrich_coverage,
+    "error_position_profile": q_error_position_profile,
 }

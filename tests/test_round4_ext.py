@@ -925,3 +925,56 @@ def test_embedding_norm_outliers_semantics(spark):
     assert [r["vec_id"] for r in out] == [100, 101]
     assert out[0]["rank"] == 1 and out[0]["norm"] == 10.0
     assert out[0]["z"] > 0 > out[1]["z"]
+
+
+def test_route_overlap_semantics(spark):
+    from go_distributed_log_search_spark.operators.route import route_overlap
+
+    rows = [
+        # errors + assistant (2 sinks)
+        ("c", 0, "assistant", None, None, "ERROR"),
+        # tool only (tool col), level NULL must not poison n_sinks
+        ("c", 1, "tool", "bash", None, None),
+        # nothing matches
+        ("c", 2, "user", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string, "
+        "tool_call string, level string",
+    )
+    out = {r["combo"]: r for r in route_overlap(df).collect()}
+    assert out["errors+assistant_turns"]["n_sinks"] == 2
+    assert out["tool_calls"]["n_sinks"] == 1
+    assert out["(none)"]["n_sinks"] == 0
+    assert sum(r["n_turns"] for r in out.values()) == 3
+
+
+def test_enrich_coverage_semantics(spark):
+    from go_distributed_log_search_spark.operators.enrich import enrich_coverage
+
+    rows = [
+        ("c", 0, "assistant", None),
+        ("c", 1, "tool", "bash"),       # known tool -> matched
+        ("c", 2, "tool", "unknowntool"),  # unknown tool -> unmatched
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "tool"])
+    out = {r["role"]: r for r in enrich_coverage(df, spark).collect()}
+    assert out["tool"]["n_tool_turns"] == 2
+    assert out["tool"]["n_tool_matched"] == 1
+    assert out["tool"]["tool_match_rate"] == 0.5
+    assert out["assistant"]["n_role_matched"] == 1
+    assert out["assistant"]["tool_match_rate"] is None
+
+
+def test_error_position_profile_semantics(spark):
+    from go_distributed_log_search_spark.operators.telemetry import (
+        error_position_profile,
+    )
+
+    # 10 turns: errors only in the last fifth
+    rows = [("c", i, "ERROR" if i >= 8 else None) for i in range(10)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "level"])
+    out = {r["bucket"]: r for r in error_position_profile(df).collect()}
+    assert out[4]["n_errors"] == 2 and out[4]["err_rate"] == 1.0
+    assert all(out[b]["n_errors"] == 0 for b in (0, 1, 2, 3))
