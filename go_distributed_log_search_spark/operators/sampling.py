@@ -467,3 +467,47 @@ def weighted_sample(
         )
         .orderBy(group_col, "rank")
     )
+
+
+def quality_calibration(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source quality-score calibration: map each document's raw
+    quality score (token count here, as elsewhere in this suite) to its
+    percent-rank WITHIN its source, so scores become comparable across
+    sources whose raw scales differ — the standard pre-step before any
+    corpus-wide quality threshold (a 0.9 means "top decile of its own
+    source" for every source). Output: the calibration map — per
+    (source, calibrated decile): document count and the raw-score range
+    that decile covers, which is exactly the lookup a filtering job
+    broadcasts.
+
+    Output (source, decile asc): (source, decile, n_docs, min_raw,
+    max_raw).
+
+    Scale shape: one percent_rank() window per source partition — an
+    exact per-source sort, the honest cost of exact calibration; at
+    10^12 rows swap to approx_percentile-derived decile boundaries
+    (one aggregate + a broadcast range join) at the price of boundary
+    approximation. Ties in the raw score share a rank (no artificial
+    tie-break), so results are engine-identical and deterministic.
+    """
+    del id_col  # ties intentionally share percent_rank; no tie-break key
+    raw = ws_token_count_expr(F.col(text_col))
+    scored = df.select(group_col, raw.alias("raw"))
+    w = Window.partitionBy(group_col).orderBy("raw")
+    cal = F.percent_rank().over(w)
+    decile = F.least(F.floor(cal * 10), F.lit(9)).cast("int")
+    return (
+        scored.select(group_col, "raw", decile.alias("decile"))
+        .groupBy(group_col, "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("raw").cast("long").alias("min_raw"),
+            F.max("raw").cast("long").alias("max_raw"),
+        )
+        .orderBy(group_col, "decile")
+    )

@@ -3538,3 +3538,23 @@ SELECT CAST(least(floor(5 * turn_idx / n_turns), 4) AS INT) AS bucket,
        ROUND(SUM(is_err) / CAST(COUNT(*) AS DOUBLE), 4) AS err_rate
 FROM base GROUP BY bucket ORDER BY bucket
 """
+
+# Cross-source quality calibration map
+# (operators/sampling.py:quality_calibration).
+
+ORACLES["quality_calibration"] = """
+WITH scored AS (
+  SELECT source, len(regexp_extract_all(text, '\\S+')) AS raw
+  FROM documents
+),
+cal AS (
+  SELECT source, raw,
+    CAST(least(floor(PERCENT_RANK() OVER (
+      PARTITION BY source ORDER BY raw) * 10), 9) AS INT) AS decile
+  FROM scored
+)
+SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(raw) AS BIGINT) AS min_raw,
+       CAST(MAX(raw) AS BIGINT) AS max_raw
+FROM cal GROUP BY source, decile ORDER BY source, decile
+"""

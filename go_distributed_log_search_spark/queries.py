@@ -2115,6 +2115,13 @@ def q_error_position_profile(spark, sf_dir):
     )
 
 
+def q_quality_calibration(spark, sf_dir):
+    """Cross-source quality-score calibration map (per-source
+    percent_rank deciles) — operators/sampling.py:quality_calibration.
+    One per-source window, tie-sharing ranks, engine-identical."""
+    return sampling.quality_calibration(_docs(spark, sf_dir))
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -2294,4 +2301,5 @@ SPARK_QUERIES = {
     "route_overlap": q_route_overlap,
     "enrich_coverage": q_enrich_coverage,
     "error_position_profile": q_error_position_profile,
+    "quality_calibration": q_quality_calibration,
 }

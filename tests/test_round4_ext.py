@@ -978,3 +978,23 @@ def test_error_position_profile_semantics(spark):
     out = {r["bucket"]: r for r in error_position_profile(df).collect()}
     assert out[4]["n_errors"] == 2 and out[4]["err_rate"] == 1.0
     assert all(out[b]["n_errors"] == 0 for b in (0, 1, 2, 3))
+
+
+def test_quality_calibration_semantics(spark):
+    from go_distributed_log_search_spark.operators.sampling import (
+        quality_calibration,
+    )
+
+    # source A: 11 docs, lengths 1..11 -> percent_rank i/10, deciles 0..9
+    # source B: all ties -> everyone shares rank 0 -> one decile-0 row
+    rows = [("A", i, "w " * (i + 1)) for i in range(11)] + [
+        ("B", 100 + i, "same same") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "text"])
+    out = {(r["source"], r["decile"]): r for r in quality_calibration(df).collect()}
+    a_rows = [k for k in out if k[0] == "A"]
+    assert len(a_rows) == 10  # deciles 0..9, decile 9 holds ranks .9 and 1.0
+    assert out[("A", 9)]["n_docs"] == 2
+    assert out[("A", 0)]["min_raw"] == 1
+    assert [k for k in out if k[0] == "B"] == [("B", 0)]
+    assert out[("B", 0)]["n_docs"] == 4
