@@ -710,3 +710,46 @@ def response_ratio_stats(turns: DataFrame) -> DataFrame:
             4,
         ).alias("frac_short"),
     )
+
+
+def ctx_amplification(turns: DataFrame) -> DataFrame:
+    """Context re-send amplification: a serving stack that resends the
+    full history on every turn processes Σ_i cumsum_tokens(i) tokens for
+    a conversation whose transcript holds only Σ tokens — the ratio is
+    the cost multiplier that prefix caching (cf. prefix_sharing) or
+    truncation (cf. context_truncate) must recover. Grows linearly in
+    turn count for constant-length turns, so long conversations dominate
+    serving cost quadratically while holding linear token mass.
+
+    Output (conv_id asc): (conv_id, n_turns, total_tokens,
+    resend_tokens, amplification) with amplification = resend / total
+    to 2dp (1.0 for single-turn conversations; NULL for token-less
+    ones).
+
+    Scale shape: the same forward running-sum window as ctx_overflow
+    fused with the per-conv aggregate on the same key — one exchange,
+    (conv_id, turn_idx, n_tok) only.
+    """
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tok = turns.select(
+        "conv_id", "turn_idx", ws_token_count_expr(F.col("text")).alias("n_tok")
+    )
+    marked = tok.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        marked.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("cum").alias("resend_tokens"),
+            F.round(
+                F.sum("cum")
+                / F.nullif(F.sum("n_tok"), F.lit(0)).cast("double"),
+                2,
+            ).alias("amplification"),
+        )
+        .orderBy("conv_id")
+    )

@@ -3558,3 +3558,26 @@ SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MAX(raw) AS BIGINT) AS max_raw
 FROM cal GROUP BY source, decile ORDER BY source, decile
 """
+
+# Context re-send amplification
+# (operators/chatformat.py:ctx_amplification).
+
+ORACLES["ctx_amplification"] = """WITH_PRELUDE,
+tok AS (
+  SELECT conv_id, turn_idx,
+         len(regexp_extract_all(text, '\\S+')) AS n_tok
+  FROM transcripts
+),
+marked AS (
+  SELECT conv_id, n_tok,
+    SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tok
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(cum) AS BIGINT) AS resend_tokens,
+       ROUND(SUM(cum) / CAST(NULLIF(SUM(n_tok), 0) AS DOUBLE), 2)
+         AS amplification
+FROM marked GROUP BY conv_id ORDER BY conv_id
+"""

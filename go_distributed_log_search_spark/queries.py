@@ -2122,6 +2122,14 @@ def q_quality_calibration(spark, sf_dir):
     return sampling.quality_calibration(_docs(spark, sf_dir))
 
 
+def q_ctx_amplification(spark, sf_dir):
+    """Context re-send cost amplification per conversation (Σ running
+    prompt totals vs transcript tokens) — operators/chatformat.py:
+    ctx_amplification. Forward cumsum window fused with the conv
+    aggregate."""
+    return chatformat.ctx_amplification(_t(spark, sf_dir))
+
+
 # Registration ORDER is part of the driver contract: the round-3 driver
 # gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
 # r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
@@ -2302,4 +2310,5 @@ SPARK_QUERIES = {
     "enrich_coverage": q_enrich_coverage,
     "error_position_profile": q_error_position_profile,
     "quality_calibration": q_quality_calibration,
+    "ctx_amplification": q_ctx_amplification,
 }

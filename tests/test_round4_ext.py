@@ -998,3 +998,20 @@ def test_quality_calibration_semantics(spark):
     assert out[("A", 0)]["min_raw"] == 1
     assert [k for k in out if k[0] == "B"] == [("B", 0)]
     assert out[("B", 0)]["n_docs"] == 4
+
+
+def test_ctx_amplification_semantics(spark):
+    from go_distributed_log_search_spark.operators.chatformat import (
+        ctx_amplification,
+    )
+
+    rows = [
+        ("c1", 0, "a b"),      # cum 2
+        ("c1", 1, "c d"),      # cum 4
+        ("c1", 2, "e f"),      # cum 6 -> resend 12, total 6 -> amp 2.0
+        ("c2", 0, "solo"),     # single turn -> amp 1.0
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    out = {r["conv_id"]: r for r in ctx_amplification(df).collect()}
+    assert out["c1"]["resend_tokens"] == 12 and out["c1"]["amplification"] == 2.0
+    assert out["c2"]["amplification"] == 1.0
