@@ -2130,15 +2130,82 @@ def q_ctx_amplification(spark, sf_dir):
     return chatformat.ctx_amplification(_t(spark, sf_dir))
 
 
-# Registration ORDER is part of the driver contract: the round-3 driver
-# gated exactly the first 50 keys (CORRECTNESS_r03.json window, VERDICT
-# r03 "what's missing" #1). Block 1 = the 29 queries that round-3 left
-# ungated, rotated to the front so round 4's window covers them. Block 2
-# = 21 cheap long-green rows filling the 50-row window. Block 3 = the
-# remaining r02/r03-green rows, heaviest (md5_60 oracle-parity dedup
-# paths) last, so a time-budgeted sweep still gates the cheap rows first.
+# Registration ORDER is part of the driver contract: the driver gates
+# exactly the FIRST 50 keys (a count cut, not a time budget — see
+# BASELINE.md "Round-5 handoff"). Round-5 window (positions 1-50) = the
+# 50 round-4 additions that have never had a driver CORRECTNESS row:
+# 12 session-2 keys + 12 session-3 keys + 26 session-5 keys (the five
+# sacrifices below excluded). Positions 51-55 = the five sacrificed keys
+# (trivial/empty output or column-variant of a gated sibling on this
+# fixture; semantics pinned synthetically in tests/test_round4_ext.py)
+# so any window wider than 50 gates them first. Positions 56+ = the
+# carryover-green surface (every key green in CORRECTNESS_r01-r04 or
+# value-checked by tests/test_entry_oracle.py), heaviest md5_60
+# oracle-parity dedup paths last so a time-budgeted sweep still gates
+# the cheap rows first.
 SPARK_QUERIES = {
-    # -- block 1: round-3 ungated (reg. #51-79 last round) --------------
+    # -- round-5 gate window, 1-12: round-4 session-2 additions ------
+    "dsir_weights": q_dsir_weights,
+    "entropy_hist": q_entropy_hist,
+    "cluster_purity": q_cluster_purity,
+    "retrieval_eval": q_retrieval_eval,
+    "grok_coverage": q_grok_coverage,
+    "bpe_merges": q_bpe_merges,
+    "bpe_fertility": q_bpe_fertility,
+    "conv_template_dedup": q_conv_template_dedup,
+    "tool_call_audit": q_tool_call_audit,
+    "preference_pairs": q_preference_pairs,
+    "loss_mask_spans": q_loss_mask_spans,
+    "curriculum_order": q_curriculum_order,
+    # -- window 13-24: round-4 session-3 additions ------------------
+    "prefix_sharing": q_prefix_sharing,
+    "tool_loop_detect": q_tool_loop_detect,
+    "crossdoc_spans": q_crossdoc_spans,
+    "embedding_dim_stats": q_embedding_dim_stats,
+    "slo_stats": q_slo_stats,
+    "top_talkers": q_top_talkers,
+    "latency_stats": q_latency_stats,
+    "error_cascade": q_error_cascade,
+    "dedup_keep_best": q_dedup_keep_best,
+    "contrastive_pairs": q_contrastive_pairs,
+    "span_corruption": q_span_corruption,
+    "dup_rate_trend": q_dup_rate_trend,
+    # -- window 25-50: round-4 session-5 additions (minus the five
+    # sacrificed keys) ----------------------------------------------
+    "echo_rate": q_echo_rate,
+    "ctx_overflow": q_ctx_overflow,
+    "gopher_rules": q_gopher_rules,
+    "weighted_sample": q_weighted_sample,
+    "turn_selfrep": q_turn_selfrep,
+    "hhi_concentration": q_hhi_concentration,
+    "term_burstiness": q_term_burstiness,
+    "kl_drift": q_kl_drift,
+    "tool_error_rate": q_tool_error_rate,
+    "conv_gap_sessions": q_conv_gap_sessions,
+    "conv_depth_hist": q_conv_depth_hist,
+    "vocab_novelty_trend": q_vocab_novelty_trend,
+    "tool_bigrams": q_tool_bigrams,
+    "conv_outcomes": q_conv_outcomes,
+    "ingest_volume_trend": q_ingest_volume_trend,
+    "turn_position_profile": q_turn_position_profile,
+    "system_prompt_stats": q_system_prompt_stats,
+    "code_switch_stats": q_code_switch_stats,
+    "psi_drift": q_psi_drift,
+    "active_convs_hourly": q_active_convs_hourly,
+    "tool_latency_stats": q_tool_latency_stats,
+    "embedding_norm_outliers": q_embedding_norm_outliers,
+    "route_overlap": q_route_overlap,
+    "enrich_coverage": q_enrich_coverage,
+    "error_position_profile": q_error_position_profile,
+    "quality_calibration": q_quality_calibration,
+    # -- positions 51-55: sacrificed keys (test-pinned only; never
+    # driver-gated by window arithmetic — README §limitations) -------
+    "ooo_turns": q_ooo_turns,
+    "conv_duration_hist": q_conv_duration_hist,
+    "ttfr_stats": q_ttfr_stats,
+    "response_ratio_stats": q_response_ratio_stats,
+    "ctx_amplification": q_ctx_amplification,
+    # -- positions 56+: carryover-green surface ---------------------
     "funnel": q_funnel,
     "retention": q_retention,
     "dense_rank_ties": q_dense_rank_ties,
@@ -2165,10 +2232,6 @@ SPARK_QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "vocab_oov": q_vocab_oov,
     "trending_terms": q_trending_terms,
-    # -- block 1b: round-4 additions (must sit inside the 50-row window
-    # so the driver gates them the round they are introduced; the three
-    # r02-green parsing rows moved to block 3 to make room — carryover-
-    # green, unchanged since r02) ----------------------------------------
     "tfidf_topk": q_tfidf_topk,
     "mix_rebalance": q_mix_rebalance,
     "lm_perplexity": q_lm_perplexity,
@@ -2191,28 +2254,8 @@ SPARK_QUERIES = {
     "filter_cascade": q_filter_cascade,
     "zipf_slope": q_zipf_slope,
     "semdedup": q_semdedup,
-    # -- block 2: round-4 session-2 additions inside the window (the two
-    # long-green fillers pipeline_parse/pipeline_route_counts moved to
-    # block-3 head — r03-green, unchanged) -------------------------------
     "template_mining": q_template_mining,
     "rrf_fusion": q_rrf_fusion,
-    # -- block 3: first two rows are round-4 session-2 additions just
-    # past the 50-row window (rotate into the window in round 5, with
-    # the rest of blocks 1/1b graduating to carryover-green); then the
-    # remaining r02/r03 carryover-green rows; md5_60 oracle-parity paths
-    # last ---------------------------------------------------------------
-    "dsir_weights": q_dsir_weights,
-    "entropy_hist": q_entropy_hist,
-    "cluster_purity": q_cluster_purity,
-    "retrieval_eval": q_retrieval_eval,
-    "grok_coverage": q_grok_coverage,
-    "bpe_merges": q_bpe_merges,
-    "bpe_fertility": q_bpe_fertility,
-    "conv_template_dedup": q_conv_template_dedup,
-    "tool_call_audit": q_tool_call_audit,
-    "preference_pairs": q_preference_pairs,
-    "loss_mask_spans": q_loss_mask_spans,
-    "curriculum_order": q_curriculum_order,
     "pipeline_parse": q_pipeline_parse,
     "pipeline_route_counts": q_route_counts,
     "datetime_multiformat": q_datetime_multiformat,
@@ -2266,49 +2309,4 @@ SPARK_QUERIES = {
     "moving_avg": q_moving_avg,
     "minhash_lsh_dedup": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
-    # -- block 4: round-4 session-3 additions (outside this round's
-    # 50-row window by construction; rotate forward in round 5) ---------
-    "prefix_sharing": q_prefix_sharing,
-    "tool_loop_detect": q_tool_loop_detect,
-    "crossdoc_spans": q_crossdoc_spans,
-    "embedding_dim_stats": q_embedding_dim_stats,
-    "slo_stats": q_slo_stats,
-    "top_talkers": q_top_talkers,
-    "latency_stats": q_latency_stats,
-    "error_cascade": q_error_cascade,
-    "dedup_keep_best": q_dedup_keep_best,
-    "contrastive_pairs": q_contrastive_pairs,
-    "span_corruption": q_span_corruption,
-    "dup_rate_trend": q_dup_rate_trend,
-    "echo_rate": q_echo_rate,
-    "ctx_overflow": q_ctx_overflow,
-    "gopher_rules": q_gopher_rules,
-    "weighted_sample": q_weighted_sample,
-    "turn_selfrep": q_turn_selfrep,
-    "hhi_concentration": q_hhi_concentration,
-    "term_burstiness": q_term_burstiness,
-    "kl_drift": q_kl_drift,
-    "tool_error_rate": q_tool_error_rate,
-    "conv_gap_sessions": q_conv_gap_sessions,
-    "ooo_turns": q_ooo_turns,
-    "conv_depth_hist": q_conv_depth_hist,
-    "vocab_novelty_trend": q_vocab_novelty_trend,
-    "tool_bigrams": q_tool_bigrams,
-    "conv_outcomes": q_conv_outcomes,
-    "ingest_volume_trend": q_ingest_volume_trend,
-    "ttfr_stats": q_ttfr_stats,
-    "turn_position_profile": q_turn_position_profile,
-    "system_prompt_stats": q_system_prompt_stats,
-    "response_ratio_stats": q_response_ratio_stats,
-    "code_switch_stats": q_code_switch_stats,
-    "psi_drift": q_psi_drift,
-    "conv_duration_hist": q_conv_duration_hist,
-    "active_convs_hourly": q_active_convs_hourly,
-    "tool_latency_stats": q_tool_latency_stats,
-    "embedding_norm_outliers": q_embedding_norm_outliers,
-    "route_overlap": q_route_overlap,
-    "enrich_coverage": q_enrich_coverage,
-    "error_position_profile": q_error_position_profile,
-    "quality_calibration": q_quality_calibration,
-    "ctx_amplification": q_ctx_amplification,
 }
