@@ -23,13 +23,21 @@ from pyspark.sql import functions as F
 
 SINKS = ("errors", "tool_calls", "assistant_turns")
 
+# Shared predicate spec: ANSI SQL accepted VERBATIM by both Spark SQL
+# and DuckDB. The router (sink_predicates), the fan-out audit
+# (route_overlap), and the DuckDB oracles (oracles.py _ROUTED /
+# route_overlap) are all generated from this one table — add or change
+# a sink HERE and every consumer, including the cross-engine oracle,
+# picks it up; nothing can drift.
+SINK_PREDICATES_SQL: dict[str, str] = {
+    "errors": "level = 'ERROR'",
+    "tool_calls": "tool IS NOT NULL OR tool_call IS NOT NULL",
+    "assistant_turns": "role = 'assistant'",
+}
+
 
 def sink_predicates() -> dict[str, Column]:
-    return {
-        "errors": F.col("level") == "ERROR",
-        "tool_calls": F.col("tool").isNotNull() | F.col("tool_call").isNotNull(),
-        "assistant_turns": F.col("role") == "assistant",
-    }
+    return {s: F.expr(SINK_PREDICATES_SQL[s]) for s in SINKS}
 
 
 def with_sink_tags(df: DataFrame) -> DataFrame:

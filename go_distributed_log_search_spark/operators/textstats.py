@@ -547,6 +547,15 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
       word_count     — token count outside [min_tokens, max_tokens]
     plus a final `pass_all` row counting documents violating NO rule.
 
+    Intentional estimator choice: the ratio rules (alpha_words,
+    symbol_ratio, mean_word_len) are gated on n_tok > 0, so a document
+    with ZERO alphanumeric tokens (e.g. all symbols) is NOT flagged by
+    them — its ratios are undefined rather than infinite. Such a
+    document always violates word_count (n_tok < min_tokens, for any
+    min_tokens >= 1) and stopword_hits, so it can never reach pass_all; the per-ratio-rule
+    counts just attribute it to the degenerate-length rule instead of a
+    0/0 ratio. The DuckDB oracle and unit tests mirror this gating.
+
     Output: (rule, n_docs, rate) ordered by rule name; n_docs = violating
     docs (for pass_all: passing docs), rate = n_docs / corpus size.
 

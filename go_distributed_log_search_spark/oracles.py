@@ -8,6 +8,7 @@ aggregate/computed column is aliased identically to the Spark side.
 
 from __future__ import annotations
 
+from .operators.route import SINK_PREDICATES_SQL, SINKS
 from .transcripts import oracle_prelude
 
 # shared SQL fragments -------------------------------------------------
@@ -24,15 +25,13 @@ parsed AS (
   FROM transcripts
 )"""
 
-_ROUTED = """
-routed AS (
-  SELECT 'errors' AS sink, * FROM parsed WHERE level = 'ERROR'
-  UNION ALL
-  SELECT 'tool_calls' AS sink, * FROM parsed
-    WHERE tool IS NOT NULL OR tool_call IS NOT NULL
-  UNION ALL
-  SELECT 'assistant_turns' AS sink, * FROM parsed WHERE role = 'assistant'
-)"""
+# Routing arms are GENERATED from the router's own predicate spec
+# (operators/route.py SINK_PREDICATES_SQL — ANSI SQL valid in both
+# engines), so these oracles track sink additions/changes automatically.
+_ROUTED = "\nrouted AS (\n" + "\n  UNION ALL\n".join(
+    f"  SELECT '{s}' AS sink, * FROM parsed WHERE {SINK_PREDICATES_SQL[s]}"
+    for s in SINKS
+) + "\n)"
 
 _DOC_TOKS = """
 toks AS (
@@ -3474,18 +3473,21 @@ FROM ranked WHERE rank <= 5 ORDER BY rank
 
 # Sink fan-out combination audit (operators/route.py:route_overlap).
 
+# CASE arms generated from the router's SINK_PREDICATES_SQL spec —
+# same source of truth as route.py's sink_predicates(), so the oracle
+# tracks sink changes in lockstep (ADVICE r04).
+_TAG_ARMS = ",\n      ".join(
+    f"CASE WHEN {SINK_PREDICATES_SQL[s]} THEN '{s}' END" for s in SINKS
+)
+_NSINK_SUM = "\n     + ".join(
+    f"CASE WHEN {SINK_PREDICATES_SQL[s]} THEN 1 ELSE 0 END" for s in SINKS
+)
 ORACLES["route_overlap"] = f"""WITH_PRELUDE, {_PARSED},
 tagged AS (
   SELECT
     concat_ws('+',
-      CASE WHEN level = 'ERROR' THEN 'errors' END,
-      CASE WHEN tool IS NOT NULL OR tool_call IS NOT NULL
-           THEN 'tool_calls' END,
-      CASE WHEN role = 'assistant' THEN 'assistant_turns' END) AS combo0,
-    (CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END
-     + CASE WHEN tool IS NOT NULL OR tool_call IS NOT NULL
-            THEN 1 ELSE 0 END
-     + CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_sinks
+      {_TAG_ARMS}) AS combo0,
+    ({_NSINK_SUM}) AS n_sinks
   FROM parsed
 ),
 agg AS (

@@ -665,19 +665,22 @@ def q_train_split(spark, sf_dir):
     )
 
 
-def q_len_percentiles(spark, sf_dir):
-    """Per-role exact text-length percentiles (p50/p95, linear
+def q_len_percentiles(spark, sf_dir, exact=True):
+    """Per-role text-length percentiles (p50/p95; exact = linear
     interpolation — Spark `percentile` == DuckDB `quantile_cont`).
 
     Exact percentile shuffles every value to its group's reducer; at
-    10^12 turns swap in `approx_percentile` (t-digest sketch, map-side
-    combinable, bounded state) — same call shape, documented trade. Kept
-    exact here because the oracle must match bit-for-bit."""
+    10^12 turns pass ``exact=False`` for the sketch percentile
+    (telemetry.pctl: map-side combinable, bounded state) — same call
+    shape, documented trade. The registered/oracle default stays exact
+    because the oracle must match bit-for-bit."""
+    from .operators.telemetry import pctl
+
     t = _t(spark, sf_dir)
     ln = F.length("text")
     return t.groupBy("role").agg(
-        F.round(F.percentile(ln, F.lit(0.5)), 4).alias("p50_len"),
-        F.round(F.percentile(ln, F.lit(0.95)), 4).alias("p95_len"),
+        F.round(pctl(ln, 0.5, exact), 4).alias("p50_len"),
+        F.round(pctl(ln, 0.95, exact), 4).alias("p95_len"),
         F.count(F.lit(1)).alias("n_turns"),
     )
 
@@ -1066,12 +1069,12 @@ def q_dense_rank_ties(spark, sf_dir):
     )
 
 
-def q_conversion_latency(spark, sf_dir):
+def q_conversion_latency(spark, sf_dir, exact=True):
     """Time-to-convert distribution: per user, seconds from signup to
     the FIRST subsequent purchase; exact p50/p95 per signup-week cohort.
     Reuses the funnel's chained-min shape (one user exchange, no joins
-    for the stage timestamps), then a cohort-sized exact percentile —
-    approx_percentile is the documented swap at corpus scale."""
+    for the stage timestamps), then a cohort-sized percentile —
+    ``exact=False`` (telemetry.pctl sketch) is the corpus-scale swap."""
     ev = _tbl(spark, sf_dir, "events").select(
         "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
     )
@@ -1099,10 +1102,12 @@ def q_conversion_latency(spark, sf_dir):
             ).alias("latency_s"),
         )
     )
+    from .operators.telemetry import pctl
+
     return per_user.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.percentile("latency_s", F.lit(0.5)), 4).alias("p50_s"),
-        F.round(F.percentile("latency_s", F.lit(0.95)), 4).alias("p95_s"),
+        F.round(pctl(F.col("latency_s"), 0.5, exact), 4).alias("p50_s"),
+        F.round(pctl(F.col("latency_s"), 0.95, exact), 4).alias("p95_s"),
     )
 
 
