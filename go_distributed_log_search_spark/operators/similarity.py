@@ -39,6 +39,31 @@ def _np():
     return np
 
 
+def _ensure_scan_parallelism(df: DataFrame, target: int = 8) -> DataFrame:
+    """Round-robin repartition a corpus whose scan has fewer partitions
+    than ``target`` (guide §2.6/§6: a single-file, single-row-group parquet
+    input scans as ONE task, so the Arrow scorer stage — the expensive part
+    of every ANN operator here — would run serially on one Python worker).
+
+    ``target`` is deliberately SMALL, not the core count: in this sandbox
+    each Arrow python task pays a ~150-250 ms worker fork+bootstrap
+    (gVisor-expensive fork; `spark.python.worker.reuse` does not survive
+    across tasks here — verified with a module-global counter: every task
+    sees a fresh process), so python-stage wall is
+    ``max(serial compute / n, fork) + fork-contention(n)``. Measured on
+    the sf0.1 knn query (min-of-5): 1 task 0.30 s, 4 -> 0.25 s,
+    8 -> 0.26 s, 32 -> 0.38 s. No-op whenever the scan already has enough
+    splits, which is the 100 TB case — the guard exists precisely so the
+    repartition never fires on a real multi-file table. Results are
+    partitioning-invariant: every consumer re-ranks with deterministic
+    tie-breaks."""
+    sc = df.sparkSession.sparkContext
+    target = min(target, sc.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _query_matrix(queries: DataFrame, id_col: str, vec_col: str):
     """Collect the (small) query side to a driver numpy matrix.
 
@@ -69,7 +94,15 @@ def _cosine_scores_udf(spark, q_ids, q_mat, q_norms):
         sims = (c @ mat.T) / cn[:, None] / norms[None, :]  # (B, nq)
         return pd.Series(list(np.round(sims, 6)))
 
-    return cos_scores
+    # Optimizer fence, same as ivf_topk's assign (the UDF is pure — this
+    # changes no semantics): without it the `size(..) > 0 AND isnotnull`
+    # filter inferred from the downstream posexplode is substituted
+    # through the projection and the scorer runs TWICE over the whole
+    # corpus — guide §4.4's duplicated-BatchEvalPython pattern, confirmed
+    # as two ArrowEvalPython nodes in the round-6 before-plan
+    # (plans/r06/knn_bruteforce_before.txt nodes 3+6). Fenced: ONE
+    # ArrowEvalPython (plans/r06/knn_bruteforce_after.txt).
+    return cos_scores.asNondeterministic()
 
 
 def brute_force_topk(
@@ -95,6 +128,7 @@ def brute_force_topk(
     q_ids, q_mat, q_norms = _query_matrix(queries, id_col, vec_col)
     scorer = _cosine_scores_udf(spark, q_ids, q_mat, q_norms)
 
+    corpus = _ensure_scan_parallelism(corpus)
     scored = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         scorer(F.col(vec_col).cast("array<double>")).alias("_scores"),
@@ -195,7 +229,7 @@ def lsh_bucketed_topk(
     q_index = {q: i for i, q in enumerate(q_ids)}
 
     qb = banded(queries, "query").select("query_id", "band", "bucket")
-    cb = banded(corpus, "neighbor")
+    cb = banded(_ensure_scan_parallelism(corpus), "neighbor")
     cand = (
         cb.join(F.broadcast(qb), on=["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -319,7 +353,7 @@ def ivf_topk(
     assign = ivf_cells_udf(spark, cent_mat, cent_norms, nprobe=1).asNondeterministic()
     probe = ivf_cells_udf(spark, cent_mat, cent_norms, nprobe=nprobe)
 
-    tagged = corpus.select(
+    tagged = _ensure_scan_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("neighbor_vec"),
     ).withColumn("cell", assign(F.col("neighbor_vec"))[0])
@@ -494,9 +528,12 @@ def quantized_topk(
         scores = qc @ qq.T  # (B, nq) int64, exact
         return pd.Series(list(scores))
 
-    scored = corpus.select(
+    # same posexplode-filter fence as _cosine_scores_udf (guide §4.4)
+    scored = _ensure_scan_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
-        qdots(F.col(vec_col).cast("array<double>")).alias("_scores"),
+        qdots.asNondeterministic()(F.col(vec_col).cast("array<double>")).alias(
+            "_scores"
+        ),
     )
     qid_arr = F.array(*[F.lit(q) for q in q_ids])
     pairs = scored.select(

@@ -48,13 +48,18 @@ def driver_java_options(
         # once full, JIT stops/flushes and whole runs execute interpreted
         # (measured 6-7x CPU on identical stages). 1G removes the cliff.
         "-XX:ReservedCodeCacheSize=1g "
-        # C1-only JIT: in this sandbox C2 compilation of the large generated
-        # whole-stage-codegen methods is starved whenever all cores run
-        # executor threads — measured multi-minute interpreted ramps at
-        # local[32] (25s+ steady state) vs a 5.8s floor reached within 3
-        # runs under C1. Short-lived local sessions never amortize C2
-        # anyway; production clusters (long-lived executors, dedicated
-        # cores) should drop this flag via SPARK_GRAFT_JIT_OPTS.
+        # FULL TIERED JIT here (round-6 change): C2 steady state is 1.5-2x
+        # faster than C1 on the regex/tokenize/hash-agg hot loops (measured
+        # on the 8 headline queries at sf0.1: search 0.19->0.13s, dedup
+        # 0.25->0.15s, tpch_q1 0.18->0.10s, full pipeline 0.67->0.38s,
+        # min-of-5 each), and the short interactive queries leave enough
+        # idle cores for the C2 compiler threads to keep up. The SCALING
+        # PROBE is the exception — its 25.6M-row job saturates every core
+        # for tens of seconds and C2 compilation is starved into
+        # multi-minute interpreted ramps (measured round 5: 25s+ steady
+        # state at local[32] vs a 5.8s C1 floor) — so bench.py pins
+        # -XX:TieredStopAtLevel=1 for probe visits via SPARK_GRAFT_JIT_OPTS
+        # on the spark-submit command line; that env override wins here.
         # ParallelGC over G1: batch-throughput workload (explode + hash agg,
         # allocation-heavy); measured ~20-25% lower wall time at local[32]
         # vs G1 on the scaling job (17.6s vs 22.3s min-of-4).
@@ -69,7 +74,7 @@ def driver_java_options(
             if jit_opts is not None
             else os.environ.get(
                 "SPARK_GRAFT_JIT_OPTS",
-                "-XX:TieredStopAtLevel=1 -XX:+UseParallelGC -Xmn3g",
+                "-XX:+UseParallelGC -Xmn3g",
             )
         )
         # Fixed, fully pre-touched heap: this sandbox's first-touch page
@@ -114,7 +119,24 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE default OFF locally, ON in production (SPARK_GRAFT_AQE=1;
+        # round-6 change): every hot-path exchange here carries an explicit
+        # partition count (repartition(n, key) / pinned shuffle_partitions),
+        # so at local scale AQE contributes no decisions — only a
+        # per-exchange materialization barrier plus a driver re-planning
+        # pause between stages (measured on the sf0.1 headline queries:
+        # 8 jobs -> 3 jobs on route_counts, full pipeline 0.41 -> 0.38s,
+        # agg_terms 0.36 -> 0.28s, min-of-5). A real cluster reading
+        # unknown-sized 100 TB inputs should run with SPARK_GRAFT_AQE=1 so
+        # runtime coalescing + skew-join splitting engage; the salting in
+        # operators/aggregate.py covers the aggregation-skew side either
+        # way (AQE skew handling only applies to joins).
+        .config(
+            "spark.sql.adaptive.enabled",
+            "true"
+            if os.environ.get("SPARK_GRAFT_AQE", "0") in ("1", "true")
+            else "false",
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -200,21 +200,37 @@ def transcripts_df(spark: SparkSession, sf_dir: str, materialize: bool = True) -
 
         default_root = os.path.join(tempfile.gettempdir(), "spark-graft-cache")
     cache_root = os.environ.get("SPARK_GRAFT_CACHE", default_root)
-    path = os.path.join(cache_root, f"transcripts_{sf_name}.parquet")
+    # ROUND-ROBIN layout — deliberately NOT partitioned by conv_id. The
+    # conv distribution is Zipf-skewed (two hot convs own ~40% of turns);
+    # key-partitioned files would concentrate a hot conv into one file and
+    # any map stage scanning it gets a 5-20x straggler task (measured:
+    # this was the source of wildly bimodal run times). Even file sizes ->
+    # even map tasks; stages that need conv-locality or turn order impose
+    # it explicitly (repartition(conv_id) + sortWithinPartitions,
+    # SURVEY.md §4.2) — same discipline as size-balanced Iceberg data
+    # files at 100 TB.
+    #
+    # File count = the host's benchmark core count (round-6 change; was a
+    # fixed 64): session.py sizes maxPartitionBytes so every file is its
+    # own split, so the file count IS the map-stage task count for every
+    # consumer of this table. 64 files meant every sub-second sf0.1 scan
+    # stage ran TWO waves of tiny tasks on 32 cores (measured: the scan
+    # stage of each headline query spent ~half its wall in the second
+    # wave). One file per core -> one wave. Tied to SPARK_GRAFT_CPUS (not
+    # the current session's parallelism) so every session shares ONE cache
+    # per sf_dir; the layout is embedded in the cache path so a layout
+    # change can never silently reuse a stale cache directory.
+    n_files = int(
+        os.environ.get(
+            "SPARK_GRAFT_CACHE_FILES", os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
+    )
+    path = os.path.join(cache_root, f"transcripts_{sf_name}_f{n_files}.parquet")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        # ROUND-ROBIN 64-way layout — deliberately NOT partitioned by
-        # conv_id. The conv distribution is Zipf-skewed (two hot convs own
-        # ~40% of turns); key-partitioned files would concentrate a hot
-        # conv into one file and any map stage scanning it gets a 5-20x
-        # straggler task (measured: this was the source of wildly bimodal
-        # run times). Even file sizes -> even map tasks; stages that need
-        # conv-locality or turn order impose it explicitly
-        # (repartition(conv_id) + sortWithinPartitions, SURVEY.md §4.2) —
-        # same discipline as size-balanced Iceberg data files at 100 TB.
         (
             transcripts_view_df(spark, sf_dir)
-            .repartition(64)
+            .repartition(n_files)
             .write.mode("overwrite")
             .parquet(path)
         )
