@@ -62,26 +62,43 @@ def catalyst_extract(col: Column, pattern: str, group: int = 1) -> Column:
     return F.nullif(F.regexp_extract(col, pattern, group), F.lit(""))
 
 
+def prefix_extract(col: Column, pattern: str, prefix_len: int) -> Column:
+    """``catalyst_extract`` fast path for the common shape
+    ``<fixed-prefix>(<group>)``: one ``regexp_substr`` (NULL on no match —
+    no second regex pass for the empty-string check the
+    nullif(regexp_extract) form needs) + a constant-offset substring to
+    drop the prefix. Value-identical to
+    ``catalyst_extract(col, prefix + "(" + body + ")")`` whenever the
+    prefix has fixed length: both take the FIRST match of the same
+    pattern, and a ``+``-quantified group can never match empty. Round-6
+    measurement (sf0.1, 100k rows, noop sink, min-of-5): all six parse
+    extractions 43 ms -> 17 ms over the scan baseline (guide §1.2 step 2,
+    per-task work)."""
+    return F.substring(F.regexp_substr(col, F.lit(pattern)), prefix_len + 1, 2**30)
+
+
 # Transcript-pipeline extraction exprs (the flagship parse stage).
 def level_expr(text: Column) -> Column:
-    return catalyst_extract(text, r"level=([A-Z]+)")
+    return prefix_extract(text, r"level=[A-Z]+", 6)
 
 
 def error_signature_expr(text: Column) -> Column:
-    return catalyst_extract(text, r"sig=([A-Za-z]+)")
+    return prefix_extract(text, r"sig=[A-Za-z]+", 4)
 
 
 def tool_marker_expr(text: Column) -> Column:
-    return catalyst_extract(text, r"<tool:([a-z]+) ")
+    # the pattern's trailing space lands in the substr; rtrim restores the
+    # group-only value ([a-z]+ can never contain a space itself)
+    return F.rtrim(prefix_extract(text, r"<tool:[a-z]+ ", 6))
 
 
 def kv_long_expr(text: Column, key: str) -> Column:
     """Extract ``key: 123`` integer pairs from INFO bodies."""
-    return catalyst_extract(text, rf"{key}: (\d+)").try_cast("long")
+    return prefix_extract(text, rf"{key}: \d+", len(key) + 2).try_cast("long")
 
 
 def kv_str_expr(text: Column, key: str) -> Column:
-    return catalyst_extract(text, rf"{key}: ([\w/.:]+)")
+    return prefix_extract(text, rf"{key}: [\w/.:]+", len(key) + 2)
 
 
 # ---- engine 2: vectorized pandas UDF grok (the Arrow slow path) -------

@@ -47,7 +47,27 @@ def substring_search(
         return df.limit(0).withColumn("score", F.lit(0.0))
     fields = string_fields or [c for c in DEFAULT_SEARCH_FIELDS if c in df.columns]
     score = score_expr(query, fields, map_fields)
-    scored = df.withColumn("score", score).filter(F.col("score") > 0)
+    if not map_fields:
+        # filter on the equivalent short-circuiting OR of the P10
+        # predicates instead of `score > 0`: the pushed-down filter then
+        # stops at the first matching field (usually `text`, weight 10,
+        # no regex) instead of evaluating the FULL additive score a
+        # second time below the projection — the optimizer duplicates the
+        # whole score expression into the pushed filter otherwise
+        # (plans/r06/search_substring_topk_before.txt node (3) vs (5);
+        # guide §4.4's duplication pattern with builtins). Equivalent
+        # because every field weight is > 0: score > 0 iff some field
+        # matches iff the OR holds (NULL fields contribute 0 to the sum
+        # and FALSE-or-NULL to the OR — a row of only NULL/non-matching
+        # fields is dropped by both forms). Verified value-identical on
+        # sf0.1 and measured 0.235 -> 0.173 s (min-of-6) on the headline
+        # search. The map-field form keeps the score>0 filter: its
+        # exists()-style predicate would be an interpreted HOF.
+        scored = df.filter(match_predicate(fields, query)).withColumn(
+            "score", score
+        )
+    else:
+        scored = df.withColumn("score", score).filter(F.col("score") > 0)
     order = [F.col("score").desc()] + [F.col(c) for c in tiebreak if c in df.columns]
     return scored.orderBy(*order).limit(limit)
 
