@@ -83,6 +83,23 @@ def routed(df: DataFrame) -> DataFrame:
     )
 
 
+def routed_sink(df: DataFrame, sink: str) -> DataFrame:
+    """Single-sink slice of :func:`routed` with the predicate pushed BEFORE
+    the fan-out (round-6, guide §3.3 "explode multiplies; filter first"):
+    ``routed(df).filter(sink = s)`` is row-identical to ``df.filter(pred_s)``
+    with the sink tag attached as a literal — the explode emits tag ``s``
+    exactly when ``pred_s`` holds — but the explode form builds and
+    explodes the full 3-tag array for EVERY row and needs every sink's
+    predicate columns, while this form evaluates one predicate and lets
+    Catalyst prune the other sinks' parse columns at the scan. Consumers
+    that aggregate a single sink (q_agg_terms, q_terms_whitespace) read
+    ~15% of the rows with ~1/3 of the parse work. Multi-sink consumers
+    keep :func:`routed`. Same output schema (sink appended last)."""
+    return df.filter(F.expr(SINK_PREDICATES_SQL[sink])).withColumn(
+        "sink", F.lit(sink)
+    )
+
+
 def route_counts(df: DataFrame) -> DataFrame:
     """A2 analog: per-sink row/conversation counts (lineage doc_count)."""
     return (

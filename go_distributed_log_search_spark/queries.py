@@ -52,8 +52,11 @@ def q_route_counts(spark, sf_dir):
 
 
 def q_agg_terms(spark, sf_dir):
-    tagged = route.routed(pipeline.parsed_enriched(spark, sf_dir))
-    return aggregate.term_counts(tagged.filter(F.col("sink") == "errors"))
+    # single-sink slice: predicate pushed before the fan-out explode
+    # (route.routed_sink docstring; row-identical to
+    # routed(...).filter(sink = 'errors'), pinned in test_plans.py)
+    tagged = route.routed_sink(pipeline.parsed_enriched(spark, sf_dir), "errors")
+    return aggregate.term_counts(tagged)
 
 
 def q_enrich(spark, sf_dir):
@@ -202,9 +205,9 @@ def q_terms_raw(spark, sf_dir):
 def q_terms_whitespace(spark, sf_dir):
     """`whitespace` tokenizer: split on whitespace runs, case preserved —
     per-sink posting counts over the errors sink."""
-    tagged = route.routed(pipeline.parsed_enriched(spark, sf_dir))
+    tagged = route.routed_sink(pipeline.parsed_enriched(spark, sf_dir), "errors")
     return aggregate.term_counts(
-        tagged.filter(F.col("sink") == "errors"),
+        tagged,
         group_cols=("sink",), text_col="text", tokenizer="whitespace",
         skew_col=None, hot_keys=None,
     )

@@ -115,3 +115,27 @@ def test_cooccurrence_pairs_after_distributed_tf(spark):
     assert gen_pos != -1, tree
     assert "Exchange" in tree[gen_pos:], f"pair explode not above an exchange\n{tree}"
     assert "slice" in plan, plan  # the top-max_vocab cap
+
+
+def test_routed_sink_matches_exploded_router(spark):
+    """Round-6 optimization pin: the single-sink fast path
+    (route.routed_sink — predicate evaluated BEFORE the fan-out, sink tag
+    attached as a literal) must stay row-identical to the exploded router
+    filtered to that sink, for every registered sink, and its plan must
+    not contain the tag-array Generate."""
+    from pyspark.sql import functions as F
+
+    from go_distributed_log_search_spark import pipeline
+    from go_distributed_log_search_spark.operators import route
+
+    enriched = pipeline.parsed_enriched(spark, SF0001)
+    exploded = route.routed(enriched)
+    for sink in route.SINKS:
+        fast = route.routed_sink(enriched, sink)
+        assert fast.columns == exploded.columns
+        slow = exploded.filter(F.col("sink") == sink)
+        key_cols = ["conv_id", "turn_idx", "sink"]
+        a = sorted(map(tuple, fast.select(*key_cols).collect()))
+        b = sorted(map(tuple, slow.select(*key_cols).collect()))
+        assert a == b, f"sink {sink}: routed_sink != routed+filter"
+        assert "Generate" not in _plan(fast), _plan(fast)
