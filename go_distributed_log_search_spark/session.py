@@ -48,16 +48,22 @@ def driver_java_options(
         # once full, JIT stops/flushes and whole runs execute interpreted
         # (measured 6-7x CPU on identical stages). 1G removes the cliff.
         "-XX:ReservedCodeCacheSize=1g "
-        # FULL TIERED JIT here (round-6 change): C2 steady state is 1.5-2x
-        # faster than C1 on the regex/tokenize/hash-agg hot loops (measured
-        # on the 8 headline queries at sf0.1: search 0.19->0.13s, dedup
-        # 0.25->0.15s, tpch_q1 0.18->0.10s, full pipeline 0.67->0.38s,
-        # min-of-5 each), and the short interactive queries leave enough
-        # idle cores for the C2 compiler threads to keep up. The SCALING
-        # PROBE is the exception — its 25.6M-row job saturates every core
-        # for tens of seconds and C2 compilation is starved into
-        # multi-minute interpreted ramps (measured round 5: 25s+ steady
-        # state at local[32] vs a 5.8s C1 floor) — so bench.py pins
+        # FULL TIERED JIT with a fast ramp (round-6 change): C2 steady
+        # state is 1.5-2x faster than C1 on the regex/tokenize/hash-agg
+        # hot loops (measured on the 8 headline queries at sf0.1: search
+        # 0.19->0.13s, dedup 0.25->0.15s, tpch_q1 0.18->0.10s, full
+        # pipeline 0.67->0.38s, min-of-5 each), but with default
+        # thresholds a query timed shortly after one warm-up run still
+        # executes partially at C1 while the compile queue drains
+        # (fresh-session single-timed agg_terms: 0.44-0.56s plain C2 vs
+        # 0.23s warm). CompileThresholdScaling=0.1 makes hot methods
+        # reach C2 ~10x sooner, recovering most of the steady state
+        # within one warm-up pass (same protocol: agg_terms 0.34-0.41s,
+        # dedup 0.17-0.23s, pipeline 0.39-0.40s). The SCALING PROBE is
+        # the exception — its 25.6M-row job saturates every core for
+        # tens of seconds and C2 compilation is starved into multi-minute
+        # interpreted ramps (measured round 5: 25s+ steady state at
+        # local[32] vs a 5.8s C1 floor) — so bench.py pins
         # -XX:TieredStopAtLevel=1 for probe visits via SPARK_GRAFT_JIT_OPTS
         # on the spark-submit command line; that env override wins here.
         # ParallelGC over G1: batch-throughput workload (explode + hash agg,
@@ -74,7 +80,7 @@ def driver_java_options(
             if jit_opts is not None
             else os.environ.get(
                 "SPARK_GRAFT_JIT_OPTS",
-                "-XX:+UseParallelGC -Xmn3g",
+                "-XX:+UseParallelGC -Xmn3g -XX:CompileThresholdScaling=0.1",
             )
         )
         # Fixed, fully pre-touched heap: this sandbox's first-touch page
