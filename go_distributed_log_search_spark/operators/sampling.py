@@ -320,9 +320,22 @@ def dsir_weights(
             % n_buckets
         ).alias("bucket"),
     )
-    hist = bucketed.groupBy("bucket").agg(
-        F.sum((F.col("_src") == target_source).cast("long")).alias("t_cnt"),
-        F.sum((F.col("_src") != target_source).cast("long")).alias("r_cnt"),
+    # Round-6 (guide §2.3/§2.4): aggregate to (doc, src, bucket) token
+    # counts FIRST and derive both consumers from that one aggregate. The
+    # previous shape fed the raw exploded+md5 token stream into two
+    # different exchanges (the bucket histogram and the per-doc weight
+    # agg), so the tokenize+md5 map work ran TWICE; `counts` is consumed
+    # by both branches through the IDENTICAL exchange subtree, which
+    # Spark's ReuseExchange computes once. w(d) = sum_t lr(h(t)) =
+    # sum_bucket c * lr — same arithmetic on smaller rows; value-equality
+    # re-verified against the (unchanged) DuckDB oracle at
+    # sf0.001/0.01/0.1.
+    counts = bucketed.groupBy("_d", "_src", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hist = counts.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_src") == target_source, F.col("c")).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("_src") != target_source, F.col("c")).otherwise(0)).alias("r_cnt"),
     )
     tot = hist.agg(
         F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
@@ -335,9 +348,9 @@ def dsir_weights(
         ).alias("lr"),
     )
     per_doc = (
-        bucketed.join(F.broadcast(log_ratio), "bucket")
+        counts.join(F.broadcast(log_ratio), "bucket")
         .groupBy("_d", "_src")
-        .agg(F.sum("lr").alias("w"))
+        .agg(F.sum(F.col("lr") * F.col("c")).alias("w"))
     )
     return (
         per_doc.groupBy(F.col("_src").alias("source"))
