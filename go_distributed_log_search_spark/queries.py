@@ -2140,19 +2140,80 @@ def q_ctx_amplification(spark, sf_dir):
 
 # Registration ORDER is part of the driver contract: the driver gates
 # exactly the FIRST 50 keys (a count cut, not a time budget — see
-# BASELINE.md "Round-5 handoff"). Round-5 window (positions 1-50) = the
-# 50 round-4 additions that have never had a driver CORRECTNESS row:
-# 12 session-2 keys + 12 session-3 keys + 26 session-5 keys (the five
-# sacrifices below excluded). Positions 51-55 = the five sacrificed keys
-# (trivial/empty output or column-variant of a gated sibling on this
-# fixture; semantics pinned synthetically in tests/test_round4_ext.py)
-# so any window wider than 50 gates them first. Positions 56+ = the
-# carryover-green surface (every key green in CORRECTNESS_r01-r04 or
-# value-checked by tests/test_entry_oracle.py), heaviest md5_60
-# oracle-parity dedup paths last so a time-budgeted sweep still gates
-# the cheap rows first.
+# BASELINE.md "Round-5 handoff"). Round-6 window (VERDICT r5 'Next
+# round' item 1, executed verbatim): positions 1-5 = the five keys every
+# previous 50-row window sacrificed (`ooo_turns`, `conv_duration_hist`,
+# `ttfr_stats`, `response_ratio_stats`, `ctx_amplification`) — after
+# this round EVERY registered query has had a driver CORRECTNESS row;
+# positions 6-50 = the 45 oldest-vintage carryover keys (last driver
+# row r02/r03), re-certifying the oldest evidence — including the 8
+# bench-headline queries this optimization round touched — at current
+# HEAD. Rotation is a pure dict reorder: no key added, removed, or
+# changed; the full 158-key value-level sweep re-verified after it.
 SPARK_QUERIES = {
-    # -- round-5 gate window, 1-12: round-4 session-2 additions ------
+    # -- round-6 gate window, 1-5: the five keys never gated by any
+    # prior 50-row window (VERDICT r5 'Next round' item 1) ----------
+    "ooo_turns": q_ooo_turns,
+    "conv_duration_hist": q_conv_duration_hist,
+    "ttfr_stats": q_ttfr_stats,
+    "response_ratio_stats": q_response_ratio_stats,
+    "ctx_amplification": q_ctx_amplification,
+    # -- window 6-50: the 45 oldest-vintage carryover keys (last
+    # driver row r02/r03), re-certified at round-6 HEAD — includes
+    # the bench headline queries this round optimized.
+    # (approx_distinct is excluded: rows-only by design — no oracle —
+    # so a window slot would only record err=no_oracle; range_join,
+    # the next-oldest key, takes the slot.) ---------------------------
+    "datetime_multiformat": q_datetime_multiformat,
+    "parse_casts": q_parse_casts,
+    "ip_normalize": q_ip_normalize,
+    "pipeline_parse": q_pipeline_parse,
+    "pipeline_route_counts": q_route_counts,
+    "pipeline_agg_terms": q_agg_terms,
+    "pipeline_enrich": q_enrich,
+    "turn_ordering": q_ordering,
+    "demo_e2e": q_demo_e2e,
+    "demo_search_struct": q_demo_search_struct,
+    "demo_ingest_types": q_demo_ingest_types,
+    "search_substring_topk": q_search_substring_topk,
+    "search_field_query": q_search_field_query,
+    "search_bool_not": q_search_bool_not,
+    "search_map_scoring": q_search_map_scoring,
+    "tpch_q1": q_tpch_q1,
+    "window_top_order": q_window_top_order,
+    "time_rollup": q_time_rollup,
+    "sessionize": q_sessionize,
+    "hourly_windows": q_hourly_windows,
+    "sliding_windows": q_sliding_windows,
+    "dedup_exact": q_dedup_exact,
+    "knn_bruteforce": q_knn_bruteforce,
+    "token_budget": q_token_budget,
+    "pivot_role_counts": q_pivot_roles,
+    "unpivot_roles": q_unpivot_roles,
+    "dynamic_fields": q_dynamic_fields,
+    "lineage_counts": q_lineage_counts,
+    "terms_raw": q_terms_raw,
+    "terms_whitespace": q_terms_whitespace,
+    "media_metadata": q_media_metadata,
+    "media_features": q_media_features,
+    "lang_id": q_lang_id,
+    "quality_buckets": q_quality,
+    "token_stats": q_token_stats,
+    "fingerprints": q_fingerprint,
+    "jaccard_adjacent": q_jaccard_adjacent,
+    "simhash_pairs": q_simhash,
+    "embedding_neardup": q_embedding_neardup,
+    "lsh_ann_topk": q_lsh_ann,
+    "ivf_ann_topk": q_ivf_ann,
+    "join_topk": q_join_topk,
+    "set_ops": q_set_ops,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    # -- positions 51+: remaining carryover surface in prior relative
+    # order (every key green in CORRECTNESS_r03-r05 or value-checked
+    # by tests/test_entry_oracle.py), heaviest md5_60 oracle-parity
+    # dedup paths last so a time-budgeted sweep still gates the cheap
+    # rows first. -----------------------------------------------------
     "dsir_weights": q_dsir_weights,
     "entropy_hist": q_entropy_hist,
     "cluster_purity": q_cluster_purity,
@@ -2165,7 +2226,6 @@ SPARK_QUERIES = {
     "preference_pairs": q_preference_pairs,
     "loss_mask_spans": q_loss_mask_spans,
     "curriculum_order": q_curriculum_order,
-    # -- window 13-24: round-4 session-3 additions ------------------
     "prefix_sharing": q_prefix_sharing,
     "tool_loop_detect": q_tool_loop_detect,
     "crossdoc_spans": q_crossdoc_spans,
@@ -2178,8 +2238,6 @@ SPARK_QUERIES = {
     "contrastive_pairs": q_contrastive_pairs,
     "span_corruption": q_span_corruption,
     "dup_rate_trend": q_dup_rate_trend,
-    # -- window 25-50: round-4 session-5 additions (minus the five
-    # sacrificed keys) ----------------------------------------------
     "echo_rate": q_echo_rate,
     "ctx_overflow": q_ctx_overflow,
     "gopher_rules": q_gopher_rules,
@@ -2206,14 +2264,6 @@ SPARK_QUERIES = {
     "enrich_coverage": q_enrich_coverage,
     "error_position_profile": q_error_position_profile,
     "quality_calibration": q_quality_calibration,
-    # -- positions 51-55: sacrificed keys (test-pinned only; never
-    # driver-gated by window arithmetic — README §limitations) -------
-    "ooo_turns": q_ooo_turns,
-    "conv_duration_hist": q_conv_duration_hist,
-    "ttfr_stats": q_ttfr_stats,
-    "response_ratio_stats": q_response_ratio_stats,
-    "ctx_amplification": q_ctx_amplification,
-    # -- positions 56+: carryover-green surface ---------------------
     "funnel": q_funnel,
     "retention": q_retention,
     "dense_rank_ties": q_dense_rank_ties,
@@ -2264,52 +2314,7 @@ SPARK_QUERIES = {
     "semdedup": q_semdedup,
     "template_mining": q_template_mining,
     "rrf_fusion": q_rrf_fusion,
-    "pipeline_parse": q_pipeline_parse,
-    "pipeline_route_counts": q_route_counts,
-    "datetime_multiformat": q_datetime_multiformat,
-    "parse_casts": q_parse_casts,
-    "ip_normalize": q_ip_normalize,
-    "pipeline_agg_terms": q_agg_terms,
-    "pipeline_enrich": q_enrich,
-    "turn_ordering": q_ordering,
-    "demo_e2e": q_demo_e2e,
-    "demo_search_struct": q_demo_search_struct,
-    "demo_ingest_types": q_demo_ingest_types,
-    "search_substring_topk": q_search_substring_topk,
-    "search_field_query": q_search_field_query,
-    "search_bool_not": q_search_bool_not,
-    "search_map_scoring": q_search_map_scoring,
-    "tpch_q1": q_tpch_q1,
-    "window_top_order": q_window_top_order,
-    "time_rollup": q_time_rollup,
-    "sessionize": q_sessionize,
-    "hourly_windows": q_hourly_windows,
-    "sliding_windows": q_sliding_windows,
-    "dedup_exact": q_dedup_exact,
-    "knn_bruteforce": q_knn_bruteforce,
-    "token_budget": q_token_budget,
-    "pivot_role_counts": q_pivot_roles,
-    "unpivot_roles": q_unpivot_roles,
-    "dynamic_fields": q_dynamic_fields,
-    "lineage_counts": q_lineage_counts,
-    "terms_raw": q_terms_raw,
-    "terms_whitespace": q_terms_whitespace,
-    "media_metadata": q_media_metadata,
-    "media_features": q_media_features,
-    "lang_id": q_lang_id,
-    "quality_buckets": q_quality,
-    "token_stats": q_token_stats,
     "approx_distinct": q_approx_distinct,
-    "fingerprints": q_fingerprint,
-    "jaccard_adjacent": q_jaccard_adjacent,
-    "simhash_pairs": q_simhash,
-    "embedding_neardup": q_embedding_neardup,
-    "lsh_ann_topk": q_lsh_ann,
-    "ivf_ann_topk": q_ivf_ann,
-    "join_topk": q_join_topk,
-    "set_ops": q_set_ops,
-    "asof_join": q_asof_join,
-    "range_join": q_range_join,
     "cdc_compact": q_cdc_compact,
     "gap_fill": q_gap_fill,
     "ntile_quartiles": q_ntile_quartiles,
